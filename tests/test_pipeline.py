@@ -1,0 +1,118 @@
+"""End-to-end: camera → build → render → shade → compose (+ IO roundtrips)."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from unitysimpleraytracing_tpu import (
+    build_bvh,
+    build_scene,
+    cube_mesh,
+    frame_to_image,
+    make_camera,
+    render_frame,
+    render_hits,
+    render_rgba,
+    solid_texture,
+    texture_from_array,
+)
+from unitysimpleraytracing_tpu.core.camera import generate_rays
+from unitysimpleraytracing_tpu.core.texture import sample_bilinear
+from unitysimpleraytracing_tpu.io.png import read_png, write_png
+
+
+def _cube_setup(w=64, h=48):
+    mesh = cube_mesh(size=2.0)
+    scene = build_scene(mesh)
+    bvh = build_bvh(scene)
+    cam = make_camera(eye=(3, 2.5, 4), target=(0, 0, 0), width=w, height=h, fov_deg=60)
+    return scene, bvh, cam
+
+
+def test_camera_rays_shape_and_norm():
+    cam = make_camera(eye=(0, 0, 5), target=(0, 0, 0), width=32, height=16)
+    origins, dirs = generate_rays(cam)
+    assert origins.shape == (512, 3) and dirs.shape == (512, 3)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(dirs), axis=1), 1.0, atol=1e-6)
+    # Center ray of the frame points at the target.
+    center = np.asarray(dirs).reshape(16, 32, 3)[8, 16]
+    np.testing.assert_allclose(center, [0, 0, -1], atol=0.05)
+
+
+def test_cube_renders_hits_in_center_and_misses_at_border():
+    scene, bvh, cam = _cube_setup()
+    hits = render_hits(scene, bvh, cam)
+    mask = np.asarray(hits.hit).reshape(cam.height, cam.width)
+    assert mask[cam.height // 2, cam.width // 2]  # cube in view center
+    assert not mask[0, 0] and not mask[-1, -1]    # background at corners
+    assert 0.05 < mask.mean() < 0.95
+
+
+def test_render_frame_composites_background():
+    scene, bvh, cam = _cube_setup()
+    tex = solid_texture((1.0, 0.0, 0.0, 1.0))
+    bg = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    frame = np.asarray(render_frame(scene, bvh, cam, tex, bg))
+    rgba = np.asarray(render_rgba(scene, bvh, cam, tex))
+    hit = rgba[..., 3] > 0
+    assert frame.shape == (cam.height, cam.width, 4)
+    np.testing.assert_allclose(frame[..., 3], 1.0)
+    # Misses show pure background, hits show shaded red.
+    np.testing.assert_allclose(frame[~hit][:, 2], 1.0)
+    np.testing.assert_allclose(frame[~hit][:, 0], 0.0)
+    assert np.all(frame[hit][:, 0] >= 0.4 - 1e-6)  # max(0.4, ...) floor
+    np.testing.assert_allclose(frame[hit][:, 2], 0.0)
+
+
+def test_shading_lambert_floor_and_range():
+    scene, bvh, cam = _cube_setup()
+    tex = solid_texture((1.0, 1.0, 1.0, 1.0))
+    rgba = np.asarray(render_rgba(scene, bvh, cam, tex))
+    hit = rgba[..., 3] > 0
+    vals = rgba[hit][:, 0]
+    assert np.all(vals >= 0.4 - 1e-6)
+    assert np.all(vals <= np.sqrt(3) + 1e-5)  # max possible: sum(n)=sqrt(3)
+
+
+def test_png_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(33, 47, 3), dtype=np.uint8)
+    p = os.path.join(tmp_path, "x.png")
+    write_png(p, img)
+    back = read_png(p)
+    np.testing.assert_array_equal(img, back)
+
+
+def test_png_pure_decoder_matches_pil(tmp_path):
+    from unitysimpleraytracing_tpu.io.png import _read_png_pure
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(16, 24, 4), dtype=np.uint8)
+    p = os.path.join(tmp_path, "y.png")
+    write_png(p, img)
+    np.testing.assert_array_equal(_read_png_pure(p), read_png(p))
+
+
+def test_bilinear_sampling_interpolates():
+    img = np.zeros((2, 2, 4), np.float32)
+    img[0, 0] = [0, 0, 0, 1]
+    img[0, 1] = [1, 0, 0, 1]
+    img[1, 0] = [0, 1, 0, 1]
+    img[1, 1] = [1, 1, 0, 1]
+    from unitysimpleraytracing_tpu.core.texture import Texture
+
+    tex = Texture(data=jnp.asarray(img))
+    # Sample dead center: average of all four texels.
+    out = np.asarray(sample_bilinear(tex, jnp.asarray([0.5]), jnp.asarray([0.5])))
+    np.testing.assert_allclose(out[0, :2], [0.5, 0.5], atol=1e-6)
+    # Clamp addressing beyond the edge.
+    out = np.asarray(sample_bilinear(tex, jnp.asarray([-3.0]), jnp.asarray([-3.0])))
+    np.testing.assert_allclose(out[0, :3], img[0, 0, :3], atol=1e-6)
+
+
+def test_frame_to_image_flips_rows():
+    scene, bvh, cam = _cube_setup(w=16, h=16)
+    tex = solid_texture()
+    frame = render_frame(scene, bvh, cam, tex, jnp.asarray([0.0, 0.0, 0.0]))
+    img = frame_to_image(frame)
+    np.testing.assert_array_equal(img, np.asarray(frame)[::-1])

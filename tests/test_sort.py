@@ -1,0 +1,66 @@
+"""Sort primitive: stability, permutation, padding behavior — the promoted
+versions of ComputeBufferSorter.cs's inline validators (SURVEY §4.1)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unitysimpleraytracing_tpu import constants as C
+from unitysimpleraytracing_tpu.ops import sort
+from unitysimpleraytracing_tpu.utils import validate
+
+IMPLS = ["xla", "radix"]
+
+
+def _random_kv(n, seed=0, key_bits=32):
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(0, 2**key_bits, size=n, dtype=np.uint64).astype(np.uint32)
+    values = np.arange(n, dtype=np.int32)
+    return keys, values
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+@pytest.mark.parametrize("n", [128, 1024, 8192])
+def test_sort_matches_stable_oracle(impl, n):
+    keys, values = _random_kv(n, seed=n)
+    ko, vo = sort.sort_key_val(jnp.asarray(keys), jnp.asarray(values), impl=impl)
+    validate.check_sorted(ko, n)
+    validate.check_permutation(keys, ko, n)
+    validate.check_stability(keys, values, ko, vo, n)
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_sort_with_heavy_duplicates(impl):
+    # 30-bit Morton codes of a clustered scene: few distinct values.
+    rng = np.random.default_rng(7)
+    keys = rng.choice([0, 1, 5, 1 << 29, (1 << 30) - 1], size=4096).astype(np.uint32)
+    values = np.arange(4096, dtype=np.int32)
+    ko, vo = sort.sort_key_val(jnp.asarray(keys), jnp.asarray(values), impl=impl)
+    validate.check_stability(keys, values, ko, vo, 4096)
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_padding_keys_sort_to_tail(impl):
+    # Padding = 0xFFFFFFFF must land at the end (MeshBufferContainer.cs:108).
+    n, real = 1024, 700
+    keys = np.full(n, C.KEY_PADDING, np.uint32)
+    rng = np.random.default_rng(3)
+    keys[:real] = rng.integers(0, 1 << 30, size=real).astype(np.uint32)
+    values = np.arange(n, dtype=np.int32)
+    ko, _ = sort.sort_key_val(jnp.asarray(keys), jnp.asarray(values), impl=impl)
+    ko = np.asarray(ko)
+    assert np.all(ko[real:] == C.KEY_PADDING)
+    assert np.all(ko[:real] < C.KEY_PADDING)
+
+
+def test_radix_sort_single_block_and_multi_block_agree():
+    keys, values = _random_kv(8192, seed=11)
+    k1, v1 = sort.radix_sort_key_val(jnp.asarray(keys), jnp.asarray(values), block=8192)
+    k2, v2 = sort.radix_sort_key_val(jnp.asarray(keys), jnp.asarray(values), block=1024)
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_argsort_by_key():
+    keys, _ = _random_kv(2048, seed=5)
+    perm = np.asarray(sort.argsort_by_key(jnp.asarray(keys)))
+    np.testing.assert_array_equal(perm, np.argsort(keys, kind="stable"))

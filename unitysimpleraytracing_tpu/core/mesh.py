@@ -1,0 +1,226 @@
+"""Mesh ingest: OBJ parsing + procedural meshes + device-side scene build.
+
+Replaces the reference's Unity mesh import + host ingest loop
+(``Assets/_Scripts/MeshBufferContainer.cs:96-152``).  The reference computes
+per-triangle AABBs, centroids and Morton codes one triangle at a time on the
+CPU and then uploads; here the flat vertex arrays are shipped to the device
+once and the whole derivation (AABB inflation, centroid normalization, Morton
+encode) runs as a single jitted vectorized program (`build_scene`).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unitysimpleraytracing_tpu import constants as C
+from unitysimpleraytracing_tpu.core import morton
+from unitysimpleraytracing_tpu.core.types import Scene, Triangles
+
+
+@dataclass
+class MeshData:
+    """Host-side triangle mesh: flat per-corner arrays (n_tris*3 rows)."""
+
+    positions: np.ndarray  # (T, 3, 3) f32 — per-triangle corner positions
+    uvs: np.ndarray        # (T, 3, 2) f32
+    normals: np.ndarray    # (T, 3, 3) f32
+
+    @property
+    def num_triangles(self) -> int:
+        return self.positions.shape[0]
+
+
+def load_obj(path: str, flip_x: bool = False) -> MeshData:
+    """Minimal Wavefront OBJ loader (v/vt/vn/f; fan-triangulates polygons).
+
+    Replaces the Unity importer feeding MeshBufferContainer.cs:117-121.
+    ``flip_x=True`` reproduces Unity's right-handed→left-handed OBJ import
+    (negated x + reversed winding) for scene-parity runs.
+    """
+    vs: list[list[float]] = []
+    vts: list[list[float]] = []
+    vns: list[list[float]] = []
+    faces: list[list[tuple[int, int, int]]] = []
+    with open(path, "r", encoding="utf-8", errors="replace") as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            tag = parts[0]
+            if tag == "v":
+                vs.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif tag == "vt":
+                vts.append([float(parts[1]), float(parts[2])])
+            elif tag == "vn":
+                vns.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif tag == "f":
+                corners = []
+                for tok in parts[1:]:
+                    comp = tok.split("/")
+                    vi = int(comp[0])
+                    ti = int(comp[1]) if len(comp) > 1 and comp[1] else 0
+                    ni = int(comp[2]) if len(comp) > 2 and comp[2] else 0
+                    # OBJ indices are 1-based; negatives are relative.
+                    vi = vi - 1 if vi > 0 else len(vs) + vi
+                    ti = ti - 1 if ti > 0 else (len(vts) + ti if ti < 0 else -1)
+                    ni = ni - 1 if ni > 0 else (len(vns) + ni if ni < 0 else -1)
+                    corners.append((vi, ti, ni))
+                for k in range(1, len(corners) - 1):  # fan triangulation
+                    faces.append([corners[0], corners[k], corners[k + 1]])
+
+    v_arr = np.asarray(vs, dtype=np.float32)
+    vt_arr = np.asarray(vts, dtype=np.float32) if vts else np.zeros((1, 2), np.float32)
+    vn_arr = np.asarray(vns, dtype=np.float32) if vns else None
+
+    T = len(faces)
+    pos = np.zeros((T, 3, 3), np.float32)
+    uv = np.zeros((T, 3, 2), np.float32)
+    nrm = np.zeros((T, 3, 3), np.float32)
+    for t, face in enumerate(faces):
+        for k, (vi, ti, ni) in enumerate(face):
+            pos[t, k] = v_arr[vi]
+            if ti >= 0:
+                uv[t, k] = vt_arr[ti]
+            if vn_arr is not None and ni >= 0:
+                nrm[t, k] = vn_arr[ni]
+    if vn_arr is None or not np.any(nrm):
+        # Flat normals from geometry when the OBJ carries none.
+        e1 = pos[:, 1] - pos[:, 0]
+        e2 = pos[:, 2] - pos[:, 0]
+        fn = np.cross(e1, e2)
+        norm = np.linalg.norm(fn, axis=1, keepdims=True)
+        fn = fn / np.maximum(norm, 1e-20)
+        nrm = np.repeat(fn[:, None, :], 3, axis=1)
+    if flip_x:
+        pos[:, :, 0] *= -1.0
+        nrm[:, :, 0] *= -1.0
+        pos = pos[:, ::-1, :].copy()
+        uv = uv[:, ::-1, :].copy()
+        nrm = nrm[:, ::-1, :].copy()
+    return MeshData(positions=pos, uvs=uv, normals=nrm)
+
+
+def cube_mesh(size: float = 1.0, center=(0.0, 0.0, 0.0)) -> MeshData:
+    """12-triangle axis-aligned cube — the BASELINE.json config-1 oracle scene."""
+    s = size * 0.5
+    cx, cy, cz = center
+    corners = np.array(
+        [[x, y, z] for x in (-s, s) for y in (-s, s) for z in (-s, s)],
+        np.float32,
+    ) + np.array([cx, cy, cz], np.float32)
+    # Each face: two triangles, outward winding.
+    quads = [
+        (0, 1, 3, 2),  # -x
+        (4, 6, 7, 5),  # +x
+        (0, 4, 5, 1),  # -y
+        (2, 3, 7, 6),  # +y
+        (0, 2, 6, 4),  # -z
+        (1, 5, 7, 3),  # +z
+    ]
+    pos, uv, nrm = [], [], []
+    face_uv = np.array([[0, 0], [0, 1], [1, 1], [1, 0]], np.float32)
+    for q in quads:
+        p = corners[list(q)]
+        n = np.cross(p[1] - p[0], p[2] - p[0])
+        n = n / np.linalg.norm(n)
+        for tri in ((0, 1, 2), (0, 2, 3)):
+            pos.append(p[list(tri)])
+            uv.append(face_uv[list(tri)])
+            nrm.append(np.repeat(n[None], 3, axis=0))
+    return MeshData(
+        positions=np.stack(pos).astype(np.float32),
+        uvs=np.stack(uv).astype(np.float32),
+        normals=np.stack(nrm).astype(np.float32),
+    )
+
+
+def random_triangle_soup(
+    n: int, seed: int = 0, bound: float = 50.0, tri_size: float = 0.5
+) -> MeshData:
+    """Procedural benchmark scene: n random small triangles in a cube."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-bound, bound, size=(n, 1, 3)).astype(np.float32)
+    offsets = rng.uniform(-tri_size, tri_size, size=(n, 3, 3)).astype(np.float32)
+    pos = centers + offsets
+    uv = rng.uniform(0, 1, size=(n, 3, 2)).astype(np.float32)
+    e1 = pos[:, 1] - pos[:, 0]
+    e2 = pos[:, 2] - pos[:, 0]
+    fn = np.cross(e1, e2)
+    fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-20)
+    nrm = np.repeat(fn[:, None, :], 3, axis=1).astype(np.float32)
+    return MeshData(positions=pos, uvs=uv, normals=nrm)
+
+
+@functools.partial(jax.jit, static_argnames=("count",))
+def _derive_scene_arrays(pos, count, scene_min, scene_max):
+    """Device-side: per-triangle inflated AABB + centroid + Morton code.
+
+    Vectorized equivalent of the reference host loop
+    (MeshBufferContainer.cs:123-146 calling :52-83 and :41-50).
+    """
+    a, b, c = pos[:, 0], pos[:, 1], pos[:, 2]
+    amin = jnp.minimum(jnp.minimum(a, b), c) - C.AABB_INFLATION
+    amax = jnp.maximum(jnp.maximum(a, b), c) + C.AABB_INFLATION
+    centroid = (amin + amax) * 0.5
+    # NormalizeCentroid (MeshBufferContainer.cs:73-83): affine map to [0,1]^3.
+    unit = (centroid - scene_min) / (scene_max - scene_min)
+    codes = morton.morton_from_points(unit)
+    # Padding rows sort to the tail (MeshBufferContainer.cs:108: keys
+    # pre-filled with uint.MaxValue).
+    row = jnp.arange(pos.shape[0])
+    codes = jnp.where(row < count, codes, jnp.uint32(C.KEY_PADDING))
+    tri_index = jnp.where(row < count, row, count - 1).astype(jnp.int32)
+    return amin, amax, codes, tri_index
+
+
+def build_scene(
+    mesh: MeshData,
+    scene_bound: float | None = None,
+    pad_multiple: int = C.VREG,
+) -> Scene:
+    """Pad a host mesh to TPU tile boundaries and derive sort keys on device.
+
+    ``scene_bound=None`` computes the tight world bound from the mesh;
+    passing ``constants.PARITY_SCENE_BOUND`` (±125) reproduces the reference's
+    hard-coded normalization box (MeshBufferContainer.cs:9-15).
+    """
+    n = mesh.num_triangles
+    cap = C.pad_count(n, pad_multiple)
+
+    def pad(arr):
+        out = np.zeros((cap,) + arr.shape[1:], arr.dtype)
+        out[:n] = arr
+        return jnp.asarray(out)
+
+    pos = pad(mesh.positions)
+    uv = pad(mesh.uvs)
+    nrm = pad(mesh.normals)
+
+    if scene_bound is None:
+        lo = float(mesh.positions.min()) - 1.0
+        hi = float(mesh.positions.max()) + 1.0
+        scene_min = jnp.full((3,), lo, jnp.float32)
+        scene_max = jnp.full((3,), hi, jnp.float32)
+    else:
+        scene_min = jnp.full((3,), -scene_bound, jnp.float32)
+        scene_max = jnp.full((3,), scene_bound, jnp.float32)
+
+    amin, amax, codes, tri_index = _derive_scene_arrays(pos, n, scene_min, scene_max)
+    tris = Triangles(
+        a=pos[:, 0], b=pos[:, 1], c=pos[:, 2],
+        a_uv=uv[:, 0], b_uv=uv[:, 1], c_uv=uv[:, 2],
+        a_normal=nrm[:, 0], b_normal=nrm[:, 1], c_normal=nrm[:, 2],
+        count=n,
+    )
+    return Scene(
+        triangles=tris,
+        aabb_min=amin,
+        aabb_max=amax,
+        morton=codes,
+        tri_index=tri_index,
+        count=n,
+    )

@@ -1,0 +1,105 @@
+"""Key/value sort — the framework's L2 parallel primitive.
+
+The reference implements a 4-pass, 8-bit-digit LSD radix sort as three HLSL
+kernels driven from C# (``Assets/_Scripts/ComputeBufferSorter.cs:100-126``,
+``Assets/_Shaders/Sorting/*.compute``), built on Nvidia wave intrinsics.  On
+TPU there are no wave ops and no efficient device-wide scatter, so two
+implementations are provided behind one API:
+
+- ``impl="xla"``: ``jax.lax.sort_key_val`` — XLA:TPU's native variadic sort.
+- ``impl="radix"``: an LSD radix sort with the same pass structure as the
+  reference (per-block digit histograms in a transposed layout, exclusive scan
+  over the flattened histogram, rank = global bucket base + intra-block rank),
+  expressed as vectorized one-hot/cumsum math that XLA tiles onto the VPU/MXU.
+  The final data movement is a gather by inverse rank rather than a scatter —
+  the gather-friendly formulation of GlobalRadixSort.compute:35-39.
+
+Both are stable and bit-compatible with the reference sort's output (the
+output permutation of a stable LSD radix sort is unique).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from unitysimpleraytracing_tpu import constants as C
+
+
+def sort_key_val(
+    keys: jnp.ndarray, values: jnp.ndarray, impl: str = "xla"
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Stable ascending sort of uint32 ``keys`` with ``values`` carried along."""
+    if impl == "xla":
+        return jax.lax.sort_key_val(keys, values, is_stable=True)
+    if impl == "radix":
+        return radix_sort_key_val(keys, values)
+    raise ValueError(f"unknown sort impl {impl!r}")
+
+
+def _digit(keys: jnp.ndarray, shift: int) -> jnp.ndarray:
+    return ((keys >> jnp.uint32(shift)) & jnp.uint32(C.NUM_BUCKETS - 1)).astype(
+        jnp.int32
+    )
+
+
+def _rank_pass(keys: jnp.ndarray, shift: int, block: int) -> jnp.ndarray:
+    """Global stable rank of every element for one digit pass.
+
+    Mirrors the reference's decomposition (SURVEY §3.3): per-block bucket
+    histograms written transposed (LocalRadixSort.compute:132:
+    ``sizes[group + radix*BLOCK_SIZE]``) so a flat exclusive scan yields
+    bucket-major global bases, plus the intra-block rank that the reference
+    obtains from its wave-scan local sort (LocalRadixSort.compute:64-91).
+    """
+    n = keys.shape[0]
+    assert n % block == 0, f"n={n} must be a multiple of block={block}"
+    nblocks = n // block
+    d = _digit(keys, shift).reshape(nblocks, block)
+
+    # One-hot digit occupancy per block: (nblocks, block, NUM_BUCKETS).
+    onehot = (d[:, :, None] == jnp.arange(C.NUM_BUCKETS)[None, None, :]).astype(
+        jnp.int32
+    )
+    # Intra-block running count of each bucket → intra-block rank.
+    run = jnp.cumsum(onehot, axis=1)
+    local_rank = jnp.take_along_axis(run, d[:, :, None], axis=2)[:, :, 0] - 1
+
+    # Per-block histogram, transposed to (NUM_BUCKETS, nblocks) — the same
+    # layout trick as the reference — then flat exclusive scan for bases.
+    hist = run[:, -1, :]  # (nblocks, NUM_BUCKETS)
+    hist_t = hist.T.reshape(-1)
+    bases = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(hist_t)[:-1]]
+    ).reshape(C.NUM_BUCKETS, nblocks)
+
+    block_ids = jnp.arange(nblocks, dtype=jnp.int32)[:, None]
+    base = bases[d, block_ids]  # (nblocks, block) gather
+    return (base + local_rank).reshape(n)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def radix_sort_key_val(
+    keys: jnp.ndarray, values: jnp.ndarray, block: int = C.SORT_BLOCK
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """4-pass LSD radix sort (stable) of uint32 keys + carried values."""
+    n = keys.shape[0]
+    block = min(block, n)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    for p in range(C.NUM_PASSES):
+        rank = _rank_pass(keys, p * C.RADIX_BITS, block)
+        # rank is a permutation: dst[i] = rank[i]. Realize the pass with a
+        # gather by the inverse permutation (scatter-free on TPU):
+        # inv[rank[i]] = i via one scatter-of-iota, then take.
+        inv = jnp.zeros(n, jnp.int32).at[rank].set(idx, mode="drop")
+        keys = jnp.take(keys, inv, axis=0)
+        values = jnp.take(values, inv, axis=0)
+    return keys, values
+
+
+def argsort_by_key(keys: jnp.ndarray, impl: str = "xla") -> jnp.ndarray:
+    """Stable permutation that sorts ``keys`` ascending."""
+    idx = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    _, perm = sort_key_val(keys, idx, impl=impl)
+    return perm
