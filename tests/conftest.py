@@ -2,7 +2,6 @@
 tests run on a virtual mesh; benches run on real TPU via bench.py)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -11,6 +10,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402  (after env setup)
 
+# The environment may pre-import jax pinned to a TPU platform via
+# sitecustomize; config.update overrides it post-import.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")

@@ -16,6 +16,7 @@ from unitysimpleraytracing_tpu.core.mesh import (
     cube_mesh,
     load_obj,
     random_triangle_soup,
+    terrain_mesh,
 )
 from unitysimpleraytracing_tpu.core.texture import (
     Texture,
@@ -51,6 +52,7 @@ __all__ = [
     "load_texture",
     "make_camera",
     "random_triangle_soup",
+    "terrain_mesh",
     "render_frame",
     "render_hits",
     "render_rgba",

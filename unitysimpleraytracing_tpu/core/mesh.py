@@ -155,6 +155,48 @@ def random_triangle_soup(
     return MeshData(positions=pos, uvs=uv, normals=nrm)
 
 
+def terrain_mesh(
+    res: int = 182, size: float = 80.0, amplitude: float = 9.0, seed: int = 0
+) -> MeshData:
+    """Procedural surface benchmark scene: a (res×res) heightfield displaced by
+    smooth sinusoidal octaves — 2·(res−1)² triangles (res=182 → 65 522), a
+    Stanford-bunny-class coherent surface (BASELINE.json config 2), unlike
+    ``random_triangle_soup`` which is an adversarial worst-case BVH."""
+    rng = np.random.default_rng(seed)
+    xs = np.linspace(-size / 2, size / 2, res, dtype=np.float32)
+    X, Z = np.meshgrid(xs, xs, indexing="ij")
+    Y = np.zeros_like(X)
+    for octave in range(4):
+        freq = (2.0**octave) * 2.0 * np.pi / size
+        phase = rng.uniform(0, 2 * np.pi, size=4)
+        amp = amplitude / (2.0**octave)
+        Y += amp * np.sin(freq * X + phase[0]) * np.cos(freq * Z + phase[1])
+        Y += 0.5 * amp * np.sin(freq * (X + Z) * 0.7 + phase[2])
+    V = np.stack([X, Y, Z], axis=-1).astype(np.float32)  # (res, res, 3)
+    U = np.stack([X, Z], axis=-1).astype(np.float32) / size + 0.5
+
+    v00 = V[:-1, :-1].reshape(-1, 3)
+    v01 = V[:-1, 1:].reshape(-1, 3)
+    v10 = V[1:, :-1].reshape(-1, 3)
+    v11 = V[1:, 1:].reshape(-1, 3)
+    u00 = U[:-1, :-1].reshape(-1, 2)
+    u01 = U[:-1, 1:].reshape(-1, 2)
+    u10 = U[1:, :-1].reshape(-1, 2)
+    u11 = U[1:, 1:].reshape(-1, 2)
+    pos = np.concatenate(
+        [np.stack([v00, v01, v11], axis=1), np.stack([v00, v11, v10], axis=1)]
+    )
+    uv = np.concatenate(
+        [np.stack([u00, u01, u11], axis=1), np.stack([u00, u11, u10], axis=1)]
+    )
+    e1 = pos[:, 1] - pos[:, 0]
+    e2 = pos[:, 2] - pos[:, 0]
+    fn = np.cross(e1, e2)
+    fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-20)
+    nrm = np.repeat(fn[:, None, :], 3, axis=1).astype(np.float32)
+    return MeshData(positions=pos.astype(np.float32), uvs=uv.astype(np.float32), normals=nrm)
+
+
 @functools.partial(jax.jit, static_argnames=("count",))
 def _derive_scene_arrays(pos, count, scene_min, scene_max):
     """Device-side: per-triangle inflated AABB + centroid + Morton code.

@@ -1,0 +1,88 @@
+"""Traversal implementation dispatch.
+
+Three interchangeable traversal engines, one contract (bit-compatible hit
+records; see trace_packet.py for the exactness argument):
+
+- ``pallas``  — the production TPU kernel (trace_pallas); requires tables to
+  fit VMEM (≈ ≤100K triangles) and runs packets of 1024 coherent rays.
+- ``packet``  — XLA shared-stack packets; works everywhere (CPU tests).
+- ``perray``  — XLA per-ray stacks, the direct analog of the reference's one
+  thread per pixel; reference/debug.
+
+``auto`` picks pallas on TPU when the scene fits, else packet.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unitysimpleraytracing_tpu.core.types import Bvh, HitRecord, Scene
+from unitysimpleraytracing_tpu.ops import trace, trace_packet, trace_pallas
+
+# VMEM budget: (8+4+16) f32 columns × 4 B ≈ 112 B/row; keep tables ≲ 12 MB.
+PALLAS_MAX_CAPACITY = 110_000
+
+
+def resolve_impl(impl: str, capacity: int) -> str:
+    if impl != "auto":
+        return impl
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and capacity <= PALLAS_MAX_CAPACITY:
+        return "pallas"
+    return "packet"
+
+
+def trace_rays(
+    scene: Scene,
+    bvh: Bvh,
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    impl: str = "auto",
+) -> HitRecord:
+    """Trace an (R, 3) ray batch with the chosen engine, padding R as needed.
+
+    Rays should arrive in a coherent order (image-tile order for camera rays).
+    """
+    impl = resolve_impl(impl, bvh.capacity)
+    if impl == "perray":
+        return trace.traverse(scene, bvh, origins, dirs)
+
+    packet = trace_pallas.PACKET
+    R = origins.shape[0]
+    pad = (-R) % packet
+    if pad:
+        origins = jnp.concatenate([origins, jnp.broadcast_to(origins[:1], (pad, 3))])
+        dirs = jnp.concatenate([dirs, jnp.broadcast_to(dirs[:1], (pad, 3))])
+
+    if impl == "pallas":
+        hits = trace_pallas.traverse_packets_pallas(
+            scene, bvh, origins, dirs, interpret=jax.default_backend() == "cpu"
+        )
+    elif impl == "packet":
+        hits = trace_packet.traverse_packets(scene, bvh, origins, dirs, packet_size=packet)
+    else:
+        raise ValueError(f"unknown traversal impl {impl!r}")
+
+    if pad:
+        hits = HitRecord(
+            t=hits.t[:R], tri=hits.tri[:R], u=hits.u[:R], v=hits.v[:R]
+        )
+    return hits
+
+
+def camera_trace(scene: Scene, bvh: Bvh, cam, impl: str = "auto") -> HitRecord:
+    """Primary-ray trace in tile-major order (the reference's 32×32 thread
+    groups, RaytracingMeshDrawer.cs:83), results returned in row-major pixel
+    order."""
+    from unitysimpleraytracing_tpu.core.camera import generate_rays
+
+    origins, dirs = generate_rays(cam)
+    h, w = cam.height, cam.width
+    if h % 32 == 0 and w % 32 == 0:
+        perm, inv = trace_packet.tiled_ray_order(h, w, 32)
+        hits = trace_rays(scene, bvh, origins[perm], dirs[perm], impl=impl)
+        return HitRecord(
+            t=hits.t[inv], tri=hits.tri[inv], u=hits.u[inv], v=hits.v[inv]
+        )
+    return trace_rays(scene, bvh, origins, dirs, impl=impl)

@@ -20,12 +20,10 @@ indirection (BVH.compute:203,212).  Tree depth for k-bit distinct keys is ≤ k
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
-from unitysimpleraytracing_tpu.core.types import Bvh, Scene
+from unitysimpleraytracing_tpu.core.types import Bvh
 
 
 def _clz_xor(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -92,8 +90,8 @@ def _find_split(codes, n, first, last):
     return jnp.where(first_code == last_code, (first + last) >> 1, split)
 
 
-@functools.partial(jax.jit, static_argnames=("count",))
-def build_topology(codes: jnp.ndarray, count: int):
+@jax.jit
+def build_topology(codes: jnp.ndarray, count):
     """All internal-node ranges/splits at once (vmapped Karras).
 
     Returns (left, right, left_is_leaf, right_is_leaf, internal_parent,
@@ -101,7 +99,7 @@ def build_topology(codes: jnp.ndarray, count: int):
     count-1) carry sentinel -1 links.
     """
     cap = codes.shape[0]
-    n = count
+    n = jnp.asarray(count, jnp.int32)
     delta = _make_delta(codes, n)
 
     def one_node(i):
@@ -110,7 +108,7 @@ def build_topology(codes: jnp.ndarray, count: int):
         return first, last, split
 
     ids = jnp.arange(cap, dtype=jnp.int32)
-    safe_ids = jnp.clip(ids, 0, max(n - 2, 0))
+    safe_ids = jnp.clip(ids, 0, jnp.maximum(n - 2, 0))
     first, last, split = jax.vmap(one_node)(safe_ids)
 
     valid = ids < n - 1
@@ -135,8 +133,8 @@ def build_topology(codes: jnp.ndarray, count: int):
     return left, right, left_is_leaf, right_is_leaf, internal_parent, leaf_parent
 
 
-@functools.partial(jax.jit, static_argnames=("count",))
-def compute_depths(internal_parent: jnp.ndarray, count: int) -> jnp.ndarray:
+@jax.jit
+def compute_depths(internal_parent: jnp.ndarray, count) -> jnp.ndarray:
     """Depth of every internal node from the root (node 0) by parent chasing.
 
     O(depth) masked gather passes; depth ≤ 32 post-distribute_keys. This
@@ -164,7 +162,7 @@ def compute_depths(internal_parent: jnp.ndarray, count: int) -> jnp.ndarray:
     return jnp.where(valid, depth, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("count",))
+@jax.jit
 def refit(
     left,
     right,
@@ -174,7 +172,7 @@ def refit(
     sorted_tri,
     tri_aabb_min,
     tri_aabb_max,
-    count: int,
+    count,
 ):
     """Level-ordered AABB refit (deterministic replacement for
     BVH.compute:172-220).
@@ -218,10 +216,19 @@ def build_bvh_from_sorted(
     sorted_tri: jnp.ndarray,
     tri_aabb_min: jnp.ndarray,
     tri_aabb_max: jnp.ndarray,
-    count: int,
+    count,
+    static_count: int | None = None,
 ) -> Bvh:
     """Full LBVH from uniquified sorted codes (the reference's
-    ConstructTree + ConstructBVH sequence, BVHConstructor.cs:61-69)."""
+    ConstructTree + ConstructBVH sequence, BVHConstructor.cs:61-69).
+
+    ``count`` may be traced (ragged shards); pytree containers need static
+    metadata, so ``static_count`` (a plain int, e.g. the capacity) must be
+    supplied in that case and is what lands in ``Bvh.count``."""
+    if static_count is None:
+        if not isinstance(count, int):
+            raise TypeError("traced count requires an explicit static_count")
+        static_count = count
     (
         left,
         right,
@@ -253,5 +260,5 @@ def build_bvh_from_sorted(
         node_aabb_max=node_max,
         sorted_tri=sorted_tri,
         depth=depth,
-        count=count,
+        count=static_count,
     )

@@ -13,22 +13,23 @@ for 30-bit inputs (max 2^30-1 + n), which keeps Karras tree depth ≤ 32.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("count",))
-def distribute_keys(sorted_keys: jnp.ndarray, count: int) -> jnp.ndarray:
+@jax.jit
+def distribute_keys(sorted_keys: jnp.ndarray, count) -> jnp.ndarray:
     """Rewrite the first ``count`` sorted keys to be strictly increasing.
 
     Padding beyond ``count`` is left untouched (it stays 0xFFFFFFFF, matching
     the reference where DistributeKeys only walks trianglesLength entries).
+    ``count`` may be a Python int or a traced scalar (ragged shards in the
+    distributed build pass per-shard counts dynamically).
     """
-    k = sorted_keys[:count]
-    steps = jnp.maximum(k[1:] - k[:-1], jnp.uint32(1))
-    new = jnp.concatenate(
-        [jnp.zeros((1,), jnp.uint32), jnp.cumsum(steps, dtype=jnp.uint32)]
-    )
-    return sorted_keys.at[:count].set(new)
+    cap = sorted_keys.shape[0]
+    idx = jnp.arange(cap)
+    prev = jnp.concatenate([sorted_keys[:1], sorted_keys[:-1]])
+    steps = jnp.maximum(sorted_keys - prev, jnp.uint32(1))
+    steps = jnp.where((idx >= 1) & (idx < count), steps, jnp.uint32(0))
+    new = jnp.cumsum(steps, dtype=jnp.uint32)  # new[0] == 0 by masking
+    return jnp.where(idx < count, new, sorted_keys)

@@ -22,7 +22,7 @@ from unitysimpleraytracing_tpu.ops import lbvh, sort, unique
 @functools.partial(jax.jit, static_argnames=("sort_impl",))
 def build_bvh(scene: Scene, sort_impl: str = "xla") -> Bvh:
     """Construct the LBVH for a scene. Requires scene.count >= 2."""
-    if scene.count < 2:
+    if isinstance(scene.count, int) and scene.count < 2:
         raise ValueError("LBVH needs at least 2 triangles (reference assumes the same)")
     keys, sorted_tri = sort.sort_key_val(
         scene.morton, scene.tri_index, impl=sort_impl
