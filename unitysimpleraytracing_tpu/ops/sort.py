@@ -35,6 +35,10 @@ def sort_key_val(
         return jax.lax.sort_key_val(keys, values, is_stable=True)
     if impl == "radix":
         return radix_sort_key_val(keys, values)
+    if impl == "pallas":
+        from unitysimpleraytracing_tpu.ops import sort_pallas
+
+        return sort_pallas.radix_sort_key_val_pallas(keys, values)
     raise ValueError(f"unknown sort impl {impl!r}")
 
 

@@ -1,0 +1,158 @@
+"""Pallas TPU radix-sort kernels — the L2 sort primitive's production path.
+
+The reference's 4-pass LSD radix sort is three GPU kernels built on wave
+intrinsics and shared-memory tiles (``LocalRadixSort.compute``,
+``Scan.compute``, ``GlobalRadixSort.compute``; orchestration
+``ComputeBufferSorter.cs:100-126``).  TPU has no wave ops, no groupshared, and
+no efficient per-lane scatter, so each stage is re-derived in MXU/VPU idiom:
+
+- **Histogram kernel** (replaces LocalRadixSort's per-block bucket sizes,
+  ``LocalRadixSort.compute:117-133``): per 1024-key block, one-hot digit
+  expansion and a sublane reduction — no local sort at all.  The reference
+  locally sorts each block only so its scatter is coalesced; on TPU the final
+  data movement is a bulk gather, so block-local sorting is dead work.
+- **Scan**: the reference's transposed-histogram trick
+  (``sizes[group + radix*BLOCK_SIZE]``, LocalRadixSort.compute:132) is kept:
+  scanning the (bucket-major) flattened histogram yields global bucket bases.
+  Runs on the single-kernel Pallas scan (`ops/scan_pallas`).
+- **Rank kernel** (replaces the wave-scan local ranking + scatter math,
+  ``LocalRadixSort.compute:64-91`` + ``GlobalRadixSort.compute:35-39``):
+  stable intra-block rank = triangular-ones matmul against the one-hot digit
+  matrix (the MXU computes 128 prefix-counts in one pass), and the global
+  base lookup is a one-hot multiply-reduce — the TPU-native replacement for
+  per-lane table gathers.
+
+The kernels emit a destination index per element; the pass is realized as one
+XLA scatter-of-iota + two bulk gathers (scatter-free data movement for the
+payload).  Output is bit-identical to the reference sort: the permutation of
+a stable LSD radix sort is unique.
+
+Exactness: counts/ranks are carried in f32 (exact < 2**24) → capacity limit
+16M keys, far above the reference's fixed 524 288 (Constants.cs:6).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from unitysimpleraytracing_tpu import constants as C
+from unitysimpleraytracing_tpu.ops import scan_pallas
+
+_LANE = 128
+_ROWS = 8
+BLOCK = _ROWS * _LANE  # 1024 keys per grid step
+_NB = C.NUM_BUCKETS    # 256
+
+
+def _onehot_row(d_row):
+    """(LANE,) int32 digit vector → (LANE, NB) f32 one-hot matrix."""
+    dcol = d_row.reshape(_LANE, 1).astype(jnp.float32)
+    buckets = jax.lax.broadcasted_iota(jnp.float32, (1, _NB), 1)
+    return (dcol == buckets).astype(jnp.float32)
+
+
+def _hist_kernel(shift, keys, hist):
+    d = (keys[0].astype(jnp.uint32) >> jnp.uint32(shift)) & jnp.uint32(_NB - 1)
+    acc = jnp.zeros((1, _NB), jnp.float32)
+    for r in range(_ROWS):
+        acc = acc + jnp.sum(_onehot_row(d[r].astype(jnp.int32)), axis=0, keepdims=True)
+    hist[0] = acc.reshape(_NB)
+
+
+def _rank_kernel(shift, keys, bases, out):
+    """Destination index of each key in this block for one digit pass.
+
+    dst = global bucket base (this block's slice) + stable intra-block rank —
+    the gather-form of GlobalRadixSort.compute:35-39's scatter math.
+    """
+    d = (keys[0].astype(jnp.uint32) >> jnp.uint32(shift)) & jnp.uint32(_NB - 1)
+    # Inclusive prefix-count matmul operand: tri[a, b] = 1 iff a <= b, so
+    # (tri^T @ oh) == column prefix counts; arranged as oh-left matmul below.
+    tri = (
+        jax.lax.broadcasted_iota(jnp.float32, (_LANE, _LANE), 0)
+        >= jax.lax.broadcasted_iota(jnp.float32, (_LANE, _LANE), 1)
+    ).astype(jnp.float32)  # lower-triangular ones (inclusive)
+    base = bases[0].reshape(1, _NB)  # running per-bucket base for this block
+    for r in range(_ROWS):
+        oh = _onehot_row(d[r].astype(jnp.int32))  # (LANE, NB)
+        run = jnp.dot(tri, oh, preferred_element_type=jnp.float32)  # (LANE, NB)
+        dst = jnp.sum((run - 1.0 + base) * oh, axis=1)  # (LANE,)
+        out[0, r] = dst.astype(jnp.int32)
+        base = base + run[_LANE - 1 :, :]
+
+
+@functools.lru_cache(maxsize=64)
+def _pass_fns(nblocks: int, shift: int, interpret: bool):
+    hist_call = pl.pallas_call(
+        functools.partial(_hist_kernel, shift),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, _ROWS, _LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((1, _NB), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks, _NB), jnp.float32),
+        interpret=interpret,
+    )
+    rank_call = pl.pallas_call(
+        functools.partial(_rank_kernel, shift),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, _ROWS, _LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _NB), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _ROWS, _LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nblocks, _ROWS, _LANE), jnp.int32),
+        interpret=interpret,
+    )
+    return hist_call, rank_call
+
+
+def _sort_pass(keys, values, shift: int, nblocks: int, interpret: bool):
+    n = keys.shape[0]
+    hist_call, rank_call = _pass_fns(nblocks, shift, interpret)
+    kb = keys.reshape(nblocks, _ROWS, _LANE)
+    hist = hist_call(kb)  # (nblocks, NB) f32
+    # Transposed-histogram scan (LocalRadixSort.compute:132's layout): bucket-
+    # major flatten → exclusive scan → per-(bucket, block) global base.
+    bases_bm = scan_pallas.exclusive_scan(
+        hist.T.reshape(-1), interpret=interpret
+    ).reshape(_NB, nblocks)
+    dst = rank_call(kb, bases_bm.T.copy()).reshape(n)  # destination per element
+    # Realize the permutation: one scatter-of-iota, then bulk gathers.
+    inv = jnp.zeros((n,), jnp.int32).at[dst].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True, mode="drop"
+    )
+    return jnp.take(keys, inv, axis=0), jnp.take(values, inv, axis=0)
+
+
+def radix_sort_key_val_pallas(
+    keys: jnp.ndarray, values: jnp.ndarray, interpret: bool | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Stable 4-pass LSD radix sort of uint32 keys with carried values.
+
+    Arbitrary lengths are handled by padding to a block multiple with
+    0xFFFFFFFF keys (they sort to the tail, MeshBufferContainer.cs:108-109's
+    convention) and slicing the result.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = keys.shape[0]
+    assert n < (1 << 24), "f32-exact rank bound"
+    nblocks = -(-n // BLOCK)
+    pad = nblocks * BLOCK - n
+    if pad:
+        keys = jnp.concatenate([keys, jnp.full((pad,), C.KEY_PADDING, keys.dtype)])
+        values = jnp.concatenate([values, jnp.zeros((pad,), values.dtype)])
+    for p in range(C.NUM_PASSES):
+        keys, values = _sort_pass(
+            keys, values, p * C.RADIX_BITS, nblocks, interpret
+        )
+    if pad:
+        keys, values = keys[:n], values[:n]
+    return keys, values
