@@ -24,7 +24,17 @@ def main(argv=None) -> None:
     ap.add_argument("--target", type=float, nargs=3, default=(0.0, 0.0, 0.0))
     ap.add_argument("--background", type=float, nargs=3, default=(0.12, 0.12, 0.15))
     ap.add_argument("--flip-x", action="store_true", help="Unity-style OBJ import")
+    ap.add_argument(
+        "--platform", default="auto", choices=["auto", "cpu", "tpu"],
+        help="force the JAX platform (env vars may be overridden by the "
+        "environment; only an in-process config update is reliable)",
+    )
     args = ap.parse_args(argv)
+
+    if args.platform != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     import numpy as np
 

@@ -34,13 +34,31 @@ class MeshData:
         return self.positions.shape[0]
 
 
-def load_obj(path: str, flip_x: bool = False) -> MeshData:
-    """Minimal Wavefront OBJ loader (v/vt/vn/f; fan-triangulates polygons).
+def load_obj(path: str, flip_x: bool = False, backend: str = "auto") -> MeshData:
+    """Wavefront OBJ loader (v/vt/vn/f; fan-triangulates polygons).
 
     Replaces the Unity importer feeding MeshBufferContainer.cs:117-121.
     ``flip_x=True`` reproduces Unity's right-handed→left-handed OBJ import
     (negated x + reversed winding) for scene-parity runs.
+
+    ``backend``: "native" (C++ parser, unitysimpleraytracing_tpu/native),
+    "python", or "auto" (native when buildable, else python). Both parsers
+    produce identical arrays.
     """
+    if backend not in ("auto", "native", "python"):
+        raise ValueError(f"unknown load_obj backend {backend!r}")
+    if backend != "python":
+        from unitysimpleraytracing_tpu import native
+
+        if native.available():
+            pos, uv, nrm, has_nrm = native.load_obj_native(path)
+            return _finalize_mesh(pos, uv, nrm, has_nrm, flip_x)
+        if backend == "native":
+            raise RuntimeError(native.build_error() or "native loader unavailable")
+    return _load_obj_python(path, flip_x)
+
+
+def _load_obj_python(path: str, flip_x: bool) -> MeshData:
     vs: list[list[float]] = []
     vts: list[list[float]] = []
     vns: list[list[float]] = []
@@ -87,14 +105,22 @@ def load_obj(path: str, flip_x: bool = False) -> MeshData:
                 uv[t, k] = vt_arr[ti]
             if vn_arr is not None and ni >= 0:
                 nrm[t, k] = vn_arr[ni]
-    if vn_arr is None or not np.any(nrm):
+    return _finalize_mesh(pos, uv, nrm, vn_arr is not None, flip_x)
+
+
+def _finalize_mesh(pos, uv, nrm, has_nrm: bool, flip_x: bool) -> MeshData:
+    """Shared post-parse steps: flat-normal fallback + Unity-style x flip."""
+    pos = np.ascontiguousarray(pos, np.float32)
+    uv = np.ascontiguousarray(uv, np.float32)
+    nrm = np.ascontiguousarray(nrm, np.float32)
+    if not has_nrm or not np.any(nrm):
         # Flat normals from geometry when the OBJ carries none.
         e1 = pos[:, 1] - pos[:, 0]
         e2 = pos[:, 2] - pos[:, 0]
         fn = np.cross(e1, e2)
         norm = np.linalg.norm(fn, axis=1, keepdims=True)
         fn = fn / np.maximum(norm, 1e-20)
-        nrm = np.repeat(fn[:, None, :], 3, axis=1)
+        nrm = np.repeat(fn[:, None, :], 3, axis=1).astype(np.float32)
     if flip_x:
         pos[:, :, 0] *= -1.0
         nrm[:, :, 0] *= -1.0
