@@ -69,6 +69,66 @@ def test_tp_combine_matches_single_device(dp, tp):
     np.testing.assert_array_equal(np.asarray(v)[hit], np.asarray(ref.v)[hit])
 
 
+@pytest.mark.parametrize("dp,tp", [(2, 4), (1, 8)])
+def test_ring_exchange_matches_single_device(dp, tp):
+    scene, bvh, origins, dirs = _setup()
+    ref = trace.traverse(scene, bvh, origins, dirs)
+    mesh = dist.make_mesh(dp=dp, tp=tp)
+    ss = dist.partition_scene(scene, tp)
+    t, gtri, u, v, uv, normal = dist.render_hits_ring(ss, origins, dirs, mesh)
+    hit = np.asarray(ref.t) < rt.constants.MAX_FLOAT
+    np.testing.assert_array_equal(np.asarray(t), np.asarray(ref.t))
+    np.testing.assert_array_equal(np.asarray(gtri)[hit], np.asarray(ref.tri)[hit])
+    np.testing.assert_array_equal(np.asarray(u)[hit], np.asarray(ref.u)[hit])
+
+
+def test_ring_matches_allgather_combine():
+    scene, _, origins, dirs = _setup(n_tris=257, seed=9)
+    mesh = dist.make_mesh(dp=2, tp=4)
+    ss = dist.partition_scene(scene, 4)
+    a = dist.render_hits_sharded(ss, origins, dirs, mesh)
+    b = dist.render_hits_ring(ss, origins, dirs, mesh)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    hit = np.asarray(a[0]) < rt.constants.MAX_FLOAT
+    np.testing.assert_array_equal(np.asarray(a[1])[hit], np.asarray(b[1])[hit])
+
+
+def test_area_balanced_partition_covers_and_balances():
+    # One huge triangle + many tiny ones: area balancing isolates the hot one.
+    rng = np.random.default_rng(0)
+    import unitysimpleraytracing_tpu.core.mesh as mesh_mod
+
+    tiny = rt.random_triangle_soup(255, seed=1, bound=5.0, tri_size=0.1)
+    big = np.array([[[-50, -50, -8], [50, -50, -8], [0, 60, -8]]], np.float32)
+    pos = np.concatenate([big, tiny.positions])
+    uv = np.concatenate([np.zeros((1, 3, 2), np.float32), tiny.uvs])
+    nrm = np.concatenate([np.zeros((1, 3, 3), np.float32), tiny.normals])
+    m = mesh_mod.MeshData(positions=pos, uvs=uv, normals=nrm)
+    scene = rt.build_scene(m)
+    ss = dist.partition_scene(scene, 4, balance="area")
+    counts = np.asarray(ss.counts)
+    assert counts.sum() == scene.count
+    seen = np.concatenate(
+        [np.asarray(ss.global_tri)[s, : counts[s]] for s in range(4)]
+    )
+    assert sorted(seen.tolist()) == list(range(scene.count))
+    # The big triangle's shard should hold far fewer triangles than average.
+    big_shard = next(
+        s for s in range(4) if 0 in np.asarray(ss.global_tri)[s, : counts[s]]
+    )
+    assert counts[big_shard] < counts.sum() / 4
+    # Rendering with the skewed partition stays exact.
+    bvh = rt.build_bvh(scene)
+    rng2 = np.random.default_rng(2)
+    o = jnp.asarray(rng2.uniform(-8, 8, (256, 3)), jnp.float32)
+    d = rng2.normal(size=(256, 3)); d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+    ref = trace.traverse(scene, bvh, o, d)
+    mesh = dist.make_mesh(dp=2, tp=4)
+    t, *_ = dist.render_hits_ring(ss, o, d, mesh)
+    np.testing.assert_array_equal(np.asarray(t), np.asarray(ref.t))
+
+
 def test_sharded_step_under_jit_with_uneven_counts():
     # 7 shards of a 300-tri scene → ragged last shard; full step jitted.
     scene, _, origins, dirs = _setup(n_tris=299)

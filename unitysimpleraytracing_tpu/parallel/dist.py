@@ -60,6 +60,8 @@ class ShardedScene:
     morton: jnp.ndarray     # (S, cap) uint32, sorted within shard; pad 0xFFFFFFFF
     global_tri: jnp.ndarray  # (S, cap) int32 original triangle ids
     counts: jnp.ndarray      # (S,) int32
+    range_min: jnp.ndarray   # (S, 3) f32 — per-shard root AABB (early-out tests)
+    range_max: jnp.ndarray   # (S, 3) f32
 
     @property
     def num_shards(self) -> int:
@@ -70,39 +72,78 @@ class ShardedScene:
         return self.morton.shape[1]
 
 
-def partition_scene(scene: Scene, num_shards: int, pad_multiple: int = C.LANE) -> ShardedScene:
+def partition_scene(
+    scene: Scene,
+    num_shards: int,
+    pad_multiple: int = C.LANE,
+    balance: str = "count",
+) -> ShardedScene:
     """Split a scene into ``num_shards`` Morton-contiguous ranges.
 
-    Triangles are globally sorted by Morton code, then divided into equal
-    contiguous chunks (the Morton-range partitioning of SURVEY §5 / the
-    BASELINE north star): spatial locality per shard, so most rays terminate
-    against few shards.
+    Triangles are globally sorted by Morton code, then divided into contiguous
+    chunks (the Morton-range partitioning of SURVEY §5 / the BASELINE north
+    star): spatial locality per shard, so most rays terminate against few
+    shards.
+
+    ``balance`` is the skew-handling policy for choosing range boundaries:
+    - "count": equal triangle counts per shard (balances build work).
+    - "area":  equal summed triangle surface area per shard (a SAH-style
+      traversal-cost proxy — hot, large-area ranges get split across more
+      shards, cold ranges get merged).
     """
     n = scene.count
     keys, order = sort.sort_key_val(scene.morton, scene.tri_index)
     keys = np.asarray(keys)
     order = np.asarray(order)
 
-    per = math.ceil(n / num_shards)
-    cap = C.pad_count(per, pad_multiple)
+    if balance == "count":
+        bounds = np.minimum(
+            math.ceil(n / num_shards) * np.arange(num_shards + 1), n
+        )
+    elif balance == "area":
+        t = scene.triangles
+        a = np.asarray(t.a)[order[:n]]
+        b = np.asarray(t.b)[order[:n]]
+        c = np.asarray(t.c)[order[:n]]
+        area = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1)
+        cum = np.cumsum(area)  # cum[i] = weight of triangles [0..i]
+        targets = cum[-1] * np.arange(num_shards + 1) / num_shards
+        # Boundary = the triangle whose cumulative range contains the target;
+        # that straddling triangle starts the NEXT shard (so one dominant
+        # triangle gets isolated rather than dragging everything into shard 0).
+        bounds = np.searchsorted(cum, targets)
+        bounds[0], bounds[-1] = 0, n
+        bounds = np.maximum.accumulate(bounds)  # monotone, possibly-empty tails
+    else:
+        raise ValueError(f"unknown balance policy {balance!r}")
+
+    per = int(np.max(bounds[1:] - bounds[:-1]))
+    cap = C.pad_count(max(per, 2), pad_multiple)
 
     def shard_gather(arr, fill=0.0):
         arr = np.asarray(arr)
         out = np.full((num_shards, cap) + arr.shape[1:], fill, arr.dtype)
         for s in range(num_shards):
-            lo = min(s * per, n)
-            hi = min(lo + per, n)
+            lo, hi = bounds[s], bounds[s + 1]
             out[s, : hi - lo] = arr[order[lo:hi]]
         return jnp.asarray(out)
 
-    counts = np.clip(n - per * np.arange(num_shards), 0, per).astype(np.int32)
+    counts = (bounds[1:] - bounds[:-1]).astype(np.int32)
     morton = np.full((num_shards, cap), C.KEY_PADDING, np.uint32)
     gtri = np.zeros((num_shards, cap), np.int32)
+    rmin = np.zeros((num_shards, 3), np.float32)
+    rmax = np.zeros((num_shards, 3), np.float32)
+    amin_np, amax_np = np.asarray(scene.aabb_min), np.asarray(scene.aabb_max)
     for s in range(num_shards):
-        lo = min(s * per, n)
-        hi = min(lo + per, n)
+        lo, hi = bounds[s], bounds[s + 1]
         morton[s, : hi - lo] = keys[lo:hi]
         gtri[s, : hi - lo] = order[lo:hi]
+        if hi > lo:
+            rmin[s] = amin_np[order[lo:hi]].min(axis=0)
+            rmax[s] = amax_np[order[lo:hi]].max(axis=0)
+        else:  # empty shard: inverted box no ray can hit
+            rmin[s] = np.inf
+            rmax[s] = -np.inf
 
     t = scene.triangles
     return ShardedScene(
@@ -120,6 +161,8 @@ def partition_scene(scene: Scene, num_shards: int, pad_multiple: int = C.LANE) -
         morton=jnp.asarray(morton),
         global_tri=jnp.asarray(gtri),
         counts=jnp.asarray(counts),
+        range_min=jnp.asarray(rmin),
+        range_max=jnp.asarray(rmax),
     )
 
 
@@ -132,10 +175,17 @@ def make_mesh(dp: int, tp: int, devices=None) -> Mesh:
 
 def _local_build(morton_l, aabb_min_l, aabb_max_l, count):
     """Per-shard LBVH over already-sorted local keys (sort is a no-op pass
-    kept for generality when shards are re-fed unsorted data)."""
+    kept for generality when shards are re-fed unsorted data).
+
+    Skewed partitions can leave a shard with 0 or 1 real triangles, for which
+    the Karras topology is undefined (the reference requires >= 2 leaves too);
+    clamping the effective count to 2 folds padding rows in as extra leaves —
+    harmless, since padding geometry is degenerate (a=b=c=0 → Möller–Trumbore
+    det≈0 reject) and can never win a hit."""
     cap = morton_l.shape[0]
     iota = jnp.arange(cap, dtype=jnp.int32)
     keys, sorted_tri = jax.lax.sort_key_val(morton_l, iota, is_stable=True)
+    count = jnp.maximum(count, 2)
     keys = unique.distribute_keys(keys, count)
     return lbvh.build_bvh_from_sorted(
         keys, sorted_tri, aabb_min_l, aabb_max_l, count, static_count=cap
@@ -232,6 +282,125 @@ def render_hits_sharded(
         return tuple(pick(g) for g in gathered)
 
     return step(fields, sscene.counts, origins, dirs)
+
+
+def render_hits_ring(
+    sscene: ShardedScene,
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    mesh: Mesh,
+):
+    """Ring-pipelined ray exchange over the ``tp`` axis — the ray analog of
+    ring attention (SURVEY §5: CP/Ulysses patterns applied to rays).
+
+    Where `render_hits_sharded` replicates every dp ray block across all tp
+    shards and all_gathers S payloads per ray, here rays are sharded over the
+    FULL (dp × tp) mesh and circulate the tp ring with ``ppermute``: each of
+    the S hops traces the resident ray block against the local shard's BVH
+    and folds the running best hit.  Per-ray exchanged state is constant
+    (6 ray + 14 hit floats), independent of S, and XLA overlaps each hop's
+    ppermute with the next traversal (async collectives) — the
+    exchange-overlapped-with-traversal design of the BASELINE north star.
+
+    Early-out skew handling: a hop is skipped lane-wise when the running best
+    t is closer than the ray's entry distance to the shard's root AABB
+    (monotonicity: any hit inside the box is at least entry-distance away).
+
+    Returns the same payload tuple as `render_hits_sharded`.
+    """
+    fields = (
+        sscene.tri_a, sscene.tri_b, sscene.tri_c,
+        sscene.a_uv, sscene.b_uv, sscene.c_uv,
+        sscene.a_normal, sscene.b_normal, sscene.c_normal,
+        sscene.aabb_min, sscene.aabb_max,
+        sscene.morton, sscene.global_tri,
+    )
+    tp_size = mesh.shape["tp"]
+    assert sscene.num_shards == tp_size
+    total = mesh.shape["dp"] * tp_size
+    assert origins.shape[0] % total == 0, "rays must divide dp*tp"
+
+    field_spec = tuple(P("tp") for _ in fields)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(field_spec, P("tp"), P("tp"), P("tp"),
+                  P(("dp", "tp")), P(("dp", "tp"))),
+        out_specs=P(("dp", "tp")),
+        check_vma=False,
+    )
+    def step(fields_blk, counts_blk, rmin_blk, rmax_blk, origins_blk, dirs_blk):
+        local = tuple(f[0] for f in fields_blk)
+        count = counts_blk[0]
+        rmin, rmax = rmin_blk[0], rmax_blk[0]
+        cap = local[11].shape[0]
+        scene_l = _shard_scene_view(local, cap)
+        bvh = _local_build(local[11], local[9], local[10], count)
+        R = origins_blk.shape[0]
+
+        def entry_t(o, d):
+            """Slab entry distance to this shard's root box; +inf on miss."""
+            inv = 1.0 / d
+            t1 = (rmin[None, :] - o) * inv
+            t2 = (rmax[None, :] - o) * inv
+            tmin = jnp.max(jnp.minimum(t1, t2), axis=1)
+            tmax = jnp.min(jnp.maximum(t1, t2), axis=1)
+            hit = (tmax > tmin) & (tmax > 0)
+            return jnp.where(hit, jnp.maximum(tmin, 0.0), jnp.inf)
+
+        def trace_fold(o, d, best):
+            t_b, tri_b, u_b, v_b, uv_b, n_b = best
+            gate = entry_t(o, d) < t_b  # early-out: box can't beat best
+            h = trace.traverse(scene_l, bvh, o, d)
+            win = gate & (h.t < t_b)
+            tri = h.tri
+            w = 1.0 - h.u - h.v
+            uv = (
+                w[:, None] * scene_l.triangles.a_uv[tri]
+                + h.u[:, None] * scene_l.triangles.b_uv[tri]
+                + h.v[:, None] * scene_l.triangles.c_uv[tri]
+            )
+            nrm = (
+                w[:, None] * scene_l.triangles.a_normal[tri]
+                + h.u[:, None] * scene_l.triangles.b_normal[tri]
+                + h.v[:, None] * scene_l.triangles.c_normal[tri]
+            )
+            gtri = local[12][tri]
+            win2 = win[:, None]
+            return (
+                jnp.where(win, h.t, t_b),
+                jnp.where(win, gtri, tri_b),
+                jnp.where(win, h.u, u_b),
+                jnp.where(win, h.v, v_b),
+                jnp.where(win2, uv, uv_b),
+                jnp.where(win2, nrm, n_b),
+            )
+
+        best = (
+            jnp.full((R,), C.MAX_FLOAT, jnp.float32),
+            jnp.zeros((R,), jnp.int32),
+            jnp.zeros((R,), jnp.float32),
+            jnp.zeros((R,), jnp.float32),
+            jnp.zeros((R, 2), jnp.float32),
+            jnp.zeros((R, 3), jnp.float32),
+        )
+        o, d = origins_blk, dirs_blk
+        perm = [(i, (i + 1) % tp_size) for i in range(tp_size)]
+        for _hop in range(tp_size):
+            best = trace_fold(o, d, best)
+            if tp_size > 1:
+                # Rotate rays+state around the tp ring; after all tp_size
+                # rotations every block is back on its home device.
+                o, d, *best = [
+                    jax.lax.ppermute(x, "tp", perm) for x in (o, d, *best)
+                ]
+                best = tuple(best)
+        return best
+
+    return step(
+        fields, sscene.counts, sscene.range_min, sscene.range_max, origins, dirs
+    )
 
 
 def render_hits_dp(scene: Scene, bvh: Bvh, origins, dirs, mesh: Mesh):
