@@ -152,3 +152,20 @@ def test_graft_entry_dryrun():
     frame = jax.jit(fn)(*args)
     assert frame.shape == (64, 64, 4)
     ge.dryrun_multichip(8)
+
+
+def test_multihost_helpers_single_process():
+    from unitysimpleraytracing_tpu.parallel import multihost
+
+    assert multihost.initialize(num_processes=1) is False
+    mesh = multihost.make_host_mesh(tp_per_host=4)
+    assert mesh.shape == {"dp": 2, "tp": 4}
+    assert multihost.host_shard_bounds(10, 4, 0) == (0, 3)
+    assert multihost.host_shard_bounds(10, 4, 3) == (9, 10)
+    # The host mesh drives the sharded step just like make_mesh's.
+    scene, _, origins, dirs = _setup(n_tris=128, n_rays=256)
+    bvh = rt.build_bvh(scene)
+    ref = trace.traverse(scene, bvh, origins, dirs)
+    ss = dist.partition_scene(scene, 4)
+    t, *_ = dist.render_hits_ring(ss, origins, dirs, mesh)
+    np.testing.assert_array_equal(np.asarray(t), np.asarray(ref.t))
