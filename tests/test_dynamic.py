@@ -1,0 +1,90 @@
+"""Dynamic-scene path (refit-only updates) and shadow rays — capabilities
+beyond the reference (BASELINE.json configs 3-4)."""
+import jax.numpy as jnp
+import numpy as np
+
+import unitysimpleraytracing_tpu as rt
+from unitysimpleraytracing_tpu.ops import trace
+
+
+def _rays(n, seed, bound=8.0):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-bound, bound, size=(n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_refit_after_deform_matches_brute_force():
+    mesh = rt.random_triangle_soup(200, seed=4, bound=5.0, tri_size=1.0)
+    scene = rt.build_scene(mesh)
+    bvh = rt.build_bvh(scene)
+
+    # Deform: nonuniform squash + drift (topology/sort order kept stale).
+    pos = mesh.positions * np.array([1.3, 0.7, 1.0], np.float32) + 0.5
+    scene2 = rt.deform_scene(scene, jnp.asarray(pos))
+    bvh2 = rt.refit_bvh(scene2, bvh)
+
+    o, d = _rays(512, seed=5)
+    got = trace.traverse(scene2, bvh2, o, d)
+    want = trace.brute_force_trace(scene2, o, d)
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(want.t))
+    np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(want.tri))
+
+
+def test_refit_matches_fresh_refit_of_same_topology():
+    mesh = rt.random_triangle_soup(100, seed=6, bound=4.0, tri_size=0.8)
+    scene = rt.build_scene(mesh)
+    bvh = rt.build_bvh(scene)
+    # Identity deform → identical node boxes.
+    bvh2 = rt.refit_bvh(scene, bvh)
+    np.testing.assert_array_equal(
+        np.asarray(bvh2.node_aabb_min), np.asarray(bvh.node_aabb_min)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bvh2.node_aabb_max), np.asarray(bvh.node_aabb_max)
+    )
+
+
+def _two_plane_scene():
+    """A small occluder plane above a large floor, light from (1,1,1)."""
+    import unitysimpleraytracing_tpu.core.mesh as mesh_mod
+
+    floor = np.array(
+        [
+            [[-10, 0, -10], [10, 0, -10], [10, 0, 10]],
+            [[-10, 0, -10], [10, 0, 10], [-10, 0, 10]],
+        ],
+        np.float32,
+    )
+    # Occluder centered along the light direction from the origin region.
+    occ = floor[:, :, :] * 0.08 + np.array([3.0, 3.0, 3.0], np.float32)
+    pos = np.concatenate([floor, occ])
+    uv = np.zeros((4, 3, 2), np.float32)
+    # Upward normals so unshadowed lambert (N·L = 1/√3 ≈ 0.577) sits above
+    # the 0.4 ambient floor — otherwise shadows would be invisible.
+    nrm = np.broadcast_to(
+        np.array([0.0, 1.0, 0.0], np.float32), (4, 3, 3)
+    ).copy()
+    m = mesh_mod.MeshData(positions=pos, uvs=uv, normals=nrm)
+    return rt.build_scene(m)
+
+
+def test_shadow_rays_darken_occluded_floor():
+    scene = _two_plane_scene()
+    bvh = rt.build_bvh(scene)
+    cam = rt.make_camera(eye=(0, 8, 12), target=(0, 0, 0), width=96, height=96)
+    tex = rt.solid_texture((1.0, 1.0, 1.0, 1.0))
+    lit = np.asarray(rt.render_rgba(scene, bvh, cam, tex, shadows=False))
+    sh = np.asarray(rt.render_rgba(scene, bvh, cam, tex, shadows=True))
+    hit = lit[..., 3] > 0
+    assert hit.any()
+    # Shadows only darken, never brighten.
+    assert np.all(sh[..., :3] <= lit[..., :3] + 1e-6)
+    darkened = (lit[..., 0] - sh[..., 0] > 1e-3) & hit
+    assert darkened.any(), "occluder casts no shadow"
+    # Shadowed pixels sit at the 0.4 ambient floor (white texture).
+    np.testing.assert_allclose(sh[..., 0][darkened], 0.4, atol=1e-5)
+    # Un-shadowed pixels unchanged.
+    same = hit & ~darkened
+    np.testing.assert_allclose(sh[..., 0][same], lit[..., 0][same], atol=1e-6)

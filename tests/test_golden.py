@@ -1,0 +1,49 @@
+"""Golden-image tests — the end-to-end oracle the reference only had as a
+human looking at the composited overlay (SURVEY §4.3).  Tolerance of ±2/255
+per channel absorbs quantization flips from ULP-level cross-version drift;
+structural regressions (wrong hits, shading, composition) blow far past it.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import unitysimpleraytracing_tpu as rt
+from unitysimpleraytracing_tpu.io.png import read_png
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _compare(frame, name, tol=2):
+    got = np.clip(np.asarray(rt.frame_to_image(frame)) * 255.0 + 0.5, 0, 255).astype(
+        np.uint8
+    )
+    want = read_png(os.path.join(GOLDEN, name))
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    frac_off = float((diff > tol).mean())
+    assert frac_off < 0.002, (
+        f"{name}: {frac_off:.4%} of pixels differ by more than {tol}/255 "
+        f"(max diff {diff.max()})"
+    )
+
+
+def test_golden_cube():
+    scene = rt.build_scene(rt.cube_mesh(size=2.0))
+    bvh = rt.build_bvh(scene)
+    cam = rt.make_camera(eye=(3, 2.5, 4), target=(0, 0, 0), width=128, height=96)
+    tex = rt.solid_texture((0.9, 0.6, 0.3, 1.0))
+    f = rt.render_frame(scene, bvh, cam, tex, np.asarray([0.1, 0.1, 0.12], np.float32))
+    _compare(f, "cube_128x96.png")
+
+
+def test_golden_terrain_with_shadows():
+    m = rt.terrain_mesh(res=48, size=40.0, amplitude=6.0, seed=0)
+    scene = rt.build_scene(m)
+    bvh = rt.build_bvh(scene)
+    cam = rt.make_camera(eye=(30, 25, 38), target=(0, 0, 0), width=128, height=96)
+    tex = rt.solid_texture((0.9, 0.6, 0.3, 1.0))
+    f = rt.render_frame(
+        scene, bvh, cam, tex, np.asarray([0.05, 0.05, 0.08], np.float32), shadows=True
+    )
+    _compare(f, "terrain_shadow_128x96.png")

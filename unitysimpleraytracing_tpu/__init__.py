@@ -25,7 +25,7 @@ from unitysimpleraytracing_tpu.core.texture import (
     texture_from_array,
 )
 from unitysimpleraytracing_tpu.core.types import Bvh, HitRecord, Scene, Triangles
-from unitysimpleraytracing_tpu.pipeline.build import build_bvh
+from unitysimpleraytracing_tpu.pipeline.build import build_bvh, deform_scene, refit_bvh
 from unitysimpleraytracing_tpu.pipeline.render import (
     frame_to_image,
     render_frame,
@@ -44,6 +44,8 @@ __all__ = [
     "Texture",
     "Triangles",
     "build_bvh",
+    "deform_scene",
+    "refit_bvh",
     "build_scene",
     "constants",
     "cube_mesh",

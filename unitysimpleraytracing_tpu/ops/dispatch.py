@@ -71,6 +71,36 @@ def trace_rays(
     return hits
 
 
+def occluded(
+    scene: Scene,
+    bvh: Bvh,
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    impl: str = "auto",
+    eps: float = 4e-3,
+) -> jnp.ndarray:
+    """Shadow/occlusion query: True where geometry blocks the ray beyond
+    ``eps`` of its origin.  A capability beyond the reference (its shading
+    has no shadow rays); BASELINE.json config 3 stresses it.
+
+    Traced BACKWARD from a point outside the scene toward the origin: the
+    parity-exact engines inherit the reference's acceptance quirk of keeping
+    negative-t intersections whenever the origin sits inside a triangle's
+    inflated AABB (Raytracing.compute:89-103 has no t>0 test), which poisons
+    forward queries that start ON a surface — the self-hit at t≈-ε wins the
+    nearest-hit compare.  Starting from outside the scene no box contains the
+    origin, so every accepted t is positive; anything strictly between the
+    far point and ``origin + eps·dir`` is a real occluder.
+    """
+    ext = jnp.maximum(
+        jnp.max(jnp.abs(scene.aabb_min)), jnp.max(jnp.abs(scene.aabb_max))
+    )
+    far = 4.0 * ext + jnp.max(jnp.abs(origins)) + 1.0
+    back_origins = origins + dirs * far
+    hits = trace_rays(scene, bvh, back_origins, -dirs, impl=impl)
+    return hits.hit & (hits.t < far - eps)
+
+
 def camera_trace(scene: Scene, bvh: Bvh, cam, impl: str = "auto") -> HitRecord:
     """Primary-ray trace in tile-major order (the reference's 32×32 thread
     groups, RaytracingMeshDrawer.cs:83), results returned in row-major pixel

@@ -148,10 +148,16 @@ def brute_force_trace(
     return HitRecord(t=t, tri=tri, u=u, v=v)
 
 
-def shade(scene: Scene, tex: Texture, hits: HitRecord) -> jnp.ndarray:
+def shade(
+    scene: Scene, tex: Texture, hits: HitRecord, shadow: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Lambert shading + texture (Raytracing.compute:178-184): barycentric
     UV/normal interpolation (normals NOT renormalized), bilinear sample,
     ``max(0.4, dot(L, N))`` with L = normalize(1,1,1); alpha = hit flag.
+
+    ``shadow`` (R,) bool — optional occlusion mask from a shadow-ray pass
+    (a capability beyond the reference): shadowed pixels drop to the
+    reference's 0.4 ambient floor.
 
     (The reference assigns normalize(float3(1,1,1)) to a scalar float and lets
     HLSL re-broadcast it in ``dot`` — algebraically identical to the proper
@@ -172,6 +178,8 @@ def shade(scene: Scene, tex: Texture, hits: HitRecord) -> jnp.ndarray:
     )
     inv_sqrt3 = jnp.float32(1.0) / jnp.sqrt(jnp.float32(3.0))
     lambert = jnp.maximum(0.4, inv_sqrt3 * jnp.sum(normal, axis=-1))
+    if shadow is not None:
+        lambert = jnp.where(shadow, jnp.float32(0.4), lambert)
     texel = sample_bilinear(tex, uv[:, 0], uv[:, 1])
     rgb = texel[:, :3] * lambert[:, None]
     alpha = hits.hit.astype(jnp.float32)

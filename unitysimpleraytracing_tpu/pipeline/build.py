@@ -13,6 +13,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 
 from unitysimpleraytracing_tpu import constants as C
 from unitysimpleraytracing_tpu.core.types import Bvh, Scene
@@ -31,3 +32,43 @@ def build_bvh(scene: Scene, sort_impl: str = "xla") -> Bvh:
     return lbvh.build_bvh_from_sorted(
         keys, sorted_tri, scene.aabb_min, scene.aabb_max, scene.count
     )
+
+
+@jax.jit
+def deform_scene(scene: Scene, positions) -> Scene:
+    """Replace vertex positions (T, 3, 3), keeping topology-related fields.
+
+    For per-frame vertex animation: per-triangle AABBs are recomputed (the
+    refit inputs), while Morton codes and the sorted order are intentionally
+    left stale — `refit_bvh` stays correct under any deformation (every node
+    box still bounds its subtree), the tree merely loses quality as geometry
+    drifts from its original Morton order; re-run `build_bvh` to re-optimize.
+    """
+    a, b, c = positions[:, 0], positions[:, 1], positions[:, 2]
+    amin = jnp.minimum(jnp.minimum(a, b), c) - C.AABB_INFLATION
+    amax = jnp.maximum(jnp.maximum(a, b), c) + C.AABB_INFLATION
+    tris = scene.triangles.replace(a=a, b=b, c=c)
+    return scene.replace(triangles=tris, aabb_min=amin, aabb_max=amax)
+
+
+@jax.jit
+def refit_bvh(scene: Scene, bvh: Bvh) -> Bvh:
+    """Refit node AABBs to the scene's current triangle AABBs, keeping the
+    tree topology (the fast path for deforming meshes — the reference has no
+    equivalent: it rebuilds everything each Awake).
+
+    O(depth) masked passes; exact: output equals a fresh refit of the same
+    topology over the new leaf boxes.
+    """
+    node_min, node_max = lbvh.refit(
+        bvh.left,
+        bvh.right,
+        bvh.left_is_leaf,
+        bvh.right_is_leaf,
+        bvh.depth,
+        bvh.sorted_tri,
+        scene.aabb_min,
+        scene.aabb_max,
+        bvh.count,
+    )
+    return bvh.replace(node_aabb_min=node_min, node_aabb_max=node_max)

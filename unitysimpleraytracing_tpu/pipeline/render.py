@@ -29,21 +29,49 @@ def render_hits(scene: Scene, bvh: Bvh, cam: Camera, impl: str = "auto") -> HitR
     return _render_hits_impl(scene, bvh, cam, resolve_impl(impl, bvh.capacity))
 
 
-@functools.partial(jax.jit, static_argnames=("impl",))
-def _render_rgba_impl(scene, bvh, cam, tex, impl) -> jnp.ndarray:
+def _shadow_mask(scene, bvh, hits, impl):
+    """Occlusion toward the reference's fixed directional light (1,1,1):
+    shadow rays start at the hit point (reconstructed barycentrically),
+    offset along the light to avoid self-intersection."""
+    from unitysimpleraytracing_tpu.ops.dispatch import occluded
+
+    tri = hits.tri
+    w = 1.0 - hits.u - hits.v
+    p = (
+        w[:, None] * scene.triangles.a[tri]
+        + hits.u[:, None] * scene.triangles.b[tri]
+        + hits.v[:, None] * scene.triangles.c[tri]
+    )
+    light = jnp.full((3,), 1.0 / jnp.sqrt(jnp.float32(3.0)), jnp.float32)
+    dirs = jnp.broadcast_to(light, p.shape)
+    return occluded(scene, bvh, p + dirs * 1e-3, dirs, impl=impl) & hits.hit
+
+
+@functools.partial(jax.jit, static_argnames=("impl", "shadows"))
+def _render_rgba_impl(scene, bvh, cam, tex, impl, shadows=False) -> jnp.ndarray:
     hits = camera_trace(scene, bvh, cam, impl=impl)
-    rgba = trace.shade(scene, tex, hits)
+    shadow = _shadow_mask(scene, bvh, hits, impl) if shadows else None
+    rgba = trace.shade(scene, tex, hits, shadow=shadow)
     return rgba.reshape(cam.height, cam.width, 4)
 
 
-def render_rgba(scene: Scene, bvh: Bvh, cam: Camera, tex: Texture, impl: str = "auto"):
+def render_rgba(
+    scene: Scene,
+    bvh: Bvh,
+    cam: Camera,
+    tex: Texture,
+    impl: str = "auto",
+    shadows: bool = False,
+):
     """Traced layer as (H, W, 4), row 0 = bottom (Unity UAV orientation)."""
-    return _render_rgba_impl(scene, bvh, cam, tex, resolve_impl(impl, bvh.capacity))
+    return _render_rgba_impl(
+        scene, bvh, cam, tex, resolve_impl(impl, bvh.capacity), shadows
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("impl",))
-def _render_frame_impl(scene, bvh, cam, tex, background, impl) -> jnp.ndarray:
-    traced = _render_rgba_impl(scene, bvh, cam, tex, impl)
+@functools.partial(jax.jit, static_argnames=("impl", "shadows"))
+def _render_frame_impl(scene, bvh, cam, tex, background, impl, shadows=False):
+    traced = _render_rgba_impl(scene, bvh, cam, tex, impl, shadows)
     bg = jnp.broadcast_to(
         jnp.asarray(background, jnp.float32), (cam.height, cam.width, 3)
     )
@@ -57,10 +85,12 @@ def render_frame(
     tex: Texture,
     background: jnp.ndarray,  # (H, W, 3) or (3,) solid color
     impl: str = "auto",
+    shadows: bool = False,
 ) -> jnp.ndarray:
-    """Full composited frame (H, W, 4)."""
+    """Full composited frame (H, W, 4). ``shadows=True`` adds a shadow-ray
+    pass toward the fixed light (capability beyond the reference)."""
     return _render_frame_impl(
-        scene, bvh, cam, tex, background, resolve_impl(impl, bvh.capacity)
+        scene, bvh, cam, tex, background, resolve_impl(impl, bvh.capacity), shadows
     )
 
 
