@@ -1,0 +1,140 @@
+"""Rays/s scaling harness — 1 chip → N devices (BASELINE north star: >= 90%
+linear scaling with exact hit parity).
+
+Modes:
+- strong: fixed total ray count, devices split it (dp), triangles split tp.
+- weak:   rays per device fixed; total grows with the mesh.
+
+On real multi-chip hardware this measures true scaling; on a virtual CPU mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=N) the timings are
+host-bound and only the parity checks are meaningful — use --smoke for that.
+
+Usage:
+    python benchmarks/scaling.py [--devices 1 2 4 8] [--tris 65536]
+        [--rays 262144] [--mode strong|weak] [--engine ring|gather] [--smoke]
+
+Prints one JSON line per mesh size plus a summary with scaling efficiency.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _fetch(x):
+    import jax
+    import numpy as np
+
+    return float(np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0])
+
+
+def _timed(fn, reps=4):
+    _fetch(fn())  # warm/compile
+    t0 = time.perf_counter()
+    r = None
+    for _ in range(reps):
+        r = fn()
+    _fetch(r)
+    return (time.perf_counter() - t0) / reps
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, nargs="+", default=None)
+    ap.add_argument("--tris", type=int, default=65536)
+    ap.add_argument("--rays", type=int, default=262144)
+    ap.add_argument("--mode", choices=["strong", "weak"], default="strong")
+    ap.add_argument("--engine", choices=["ring", "gather"], default="ring")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny sizes + CPU platform (virtual-mesh CI check)")
+    args = ap.parse_args(argv)
+
+    if args.smoke:
+        os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        args.tris, args.rays = 1024, 4096
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import unitysimpleraytracing_tpu as rt
+    from unitysimpleraytracing_tpu.ops import trace
+    from unitysimpleraytracing_tpu.parallel import dist
+
+    n_avail = len(jax.devices())
+    sizes = args.devices or [d for d in (1, 2, 4, 8, 16) if d <= n_avail]
+
+    mesh_data = rt.terrain_mesh(
+        res=int((args.tris / 2) ** 0.5) + 1, size=80.0, amplitude=9.0, seed=0
+    )
+    scene = rt.build_scene(mesh_data)
+    rng = np.random.default_rng(0)
+
+    def rays_for(n):
+        o = rng.uniform(-40, 40, size=(n, 3)).astype(np.float32)
+        o[:, 1] = 50.0  # above the terrain, looking around
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d[:, 1] = -np.abs(d[:, 1]) - 0.3
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        return jnp.asarray(o), jnp.asarray(d)
+
+    results = []
+    base_rate = None
+    ref_t = None
+    for ndev in sizes:
+        dp, tp = (ndev, 1) if ndev == 1 else (ndev // 2, 2) if ndev == 2 else (
+            ndev // 4, 4
+        )
+        n_rays = args.rays * (ndev if args.mode == "weak" else 1)
+        n_rays = -(-n_rays // (dp * tp)) * (dp * tp)
+        origins, dirs = rays_for(n_rays)
+        mesh = dist.make_mesh(dp=dp, tp=tp)
+        ss = dist.partition_scene(scene, tp)
+        render = (
+            dist.render_hits_ring if args.engine == "ring" else dist.render_hits_sharded
+        )
+
+        @jax.jit
+        def step(ss, o, d):
+            return render(ss, o, d, mesh)
+
+        sec = _timed(lambda: step(ss, origins, dirs)[0])
+        rate = n_rays / sec / 1e6
+        if base_rate is None:
+            base_rate = rate / ndev
+        eff = rate / (base_rate * ndev)
+        row = {
+            "devices": ndev, "dp": dp, "tp": tp, "rays": n_rays,
+            "mrays_per_s": round(rate, 3), "scaling_efficiency": round(eff, 4),
+        }
+        # Exact-parity check vs single-chip traversal on a subsample.
+        t = np.asarray(step(ss, origins, dirs)[0])
+        if ref_t is None or args.mode == "strong":
+            bvh = rt.build_bvh(scene)
+            sub = slice(0, min(4096, n_rays))
+            want = trace.traverse(scene, bvh, origins[sub], dirs[sub])
+            row["parity"] = bool(np.array_equal(t[sub], np.asarray(want.t)))
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    summary = {
+        "metric": "rays_scaling_efficiency",
+        "value": results[-1]["scaling_efficiency"] if results else 0.0,
+        "unit": "fraction_of_linear",
+        "mode": args.mode, "engine": args.engine,
+        "parity_all": all(r.get("parity", True) for r in results),
+    }
+    print(json.dumps(summary), flush=True)
+    return 0 if summary["parity_all"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
