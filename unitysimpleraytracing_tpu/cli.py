@@ -24,6 +24,11 @@ def main(argv=None) -> None:
     ap.add_argument("--target", type=float, nargs=3, default=(0.0, 0.0, 0.0))
     ap.add_argument("--background", type=float, nargs=3, default=(0.12, 0.12, 0.15))
     ap.add_argument("--flip-x", action="store_true", help="Unity-style OBJ import")
+    ap.add_argument("--shadows", action="store_true", help="shadow-ray pass")
+    ap.add_argument(
+        "--gizmo", action="store_true",
+        help="overlay BVH internal-node AABB wireframes (debug oracle)",
+    )
     ap.add_argument(
         "--platform", default="auto", choices=["auto", "cpu", "tpu"],
         help="force the JAX platform (env vars may be overridden by the "
@@ -66,13 +71,26 @@ def main(argv=None) -> None:
     tex = rt.load_texture(args.texture) if args.texture else rt.solid_texture((0.8, 0.8, 0.8, 1.0))
 
     t0 = time.perf_counter()
-    frame = rt.render_frame(scene, bvh, cam, tex, np.asarray(args.background, np.float32))
+    frame = rt.render_frame(
+        scene, bvh, cam, tex, np.asarray(args.background, np.float32),
+        shadows=args.shadows,
+    )
     frame.block_until_ready()
     dt = time.perf_counter() - t0
     mrays = args.width * args.height / dt / 1e6
     print(f"rendered {args.width}x{args.height} in {dt:.3f}s ({mrays:.2f} Mrays/s, cold)")
 
-    write_png(args.out, rt.frame_to_image(frame))
+    img = rt.frame_to_image(frame)
+    if args.gizmo:
+        from unitysimpleraytracing_tpu.utils.visualize import draw_aabbs
+
+        over = draw_aabbs(
+            np.asarray(frame), cam,
+            np.asarray(bvh.node_aabb_min)[: bvh.num_internal],
+            np.asarray(bvh.node_aabb_max)[: bvh.num_internal],
+        )
+        img = over[::-1]
+    write_png(args.out, img)
     print(f"wrote {args.out}")
 
 

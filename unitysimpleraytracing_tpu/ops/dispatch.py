@@ -20,8 +20,9 @@ import numpy as np
 from unitysimpleraytracing_tpu.core.types import Bvh, HitRecord, Scene
 from unitysimpleraytracing_tpu.ops import trace, trace_packet, trace_pallas
 
-# VMEM budget: (8+4+16) f32 columns × 4 B ≈ 112 B/row; keep tables ≲ 12 MB.
-PALLAS_MAX_CAPACITY = 110_000
+# VMEM budget: packed node+triangle tables cost 128 B per element
+# (trace_pallas table layout); keep both ≲ 13 MB of the ~16 MB/core VMEM.
+PALLAS_MAX_CAPACITY = 100_000
 
 
 def resolve_impl(impl: str, capacity: int) -> str:
