@@ -88,3 +88,34 @@ def test_shadow_rays_darken_occluded_floor():
     # Un-shadowed pixels unchanged.
     same = hit & ~darkened
     np.testing.assert_allclose(sh[..., 0][same], lit[..., 0][same], atol=1e-6)
+
+
+def test_chunked_bvh_matches_single_bvh():
+    mesh = rt.random_triangle_soup(5000, seed=8, bound=10.0, tri_size=0.8)
+    scene = rt.build_scene(mesh)
+    bvh = rt.build_bvh(scene)
+    cbvh = rt.build_bvh_chunked(scene, chunk_capacity=1024)
+    assert cbvh.num_chunks == 5
+    o, d = _rays(1024, seed=9, bound=12.0)
+    ref = trace.traverse(scene, bvh, o, d)
+    got = rt.trace_chunked(cbvh, o, d)
+    # Different jit programs fuse multiply-adds differently → ULP-level t
+    # drift (the BASELINE parity bar: ids exact, t ULP-bounded).
+    gt, st = np.asarray(got.t), np.asarray(ref.t)
+    np.testing.assert_array_equal(
+        gt == rt.constants.MAX_FLOAT, st == rt.constants.MAX_FLOAT
+    )
+    hit = st < rt.constants.MAX_FLOAT
+    np.testing.assert_allclose(gt[hit], st[hit], rtol=2e-6)
+    np.testing.assert_array_equal(np.asarray(got.tri)[hit], np.asarray(ref.tri)[hit])
+    np.testing.assert_allclose(np.asarray(got.u)[hit], np.asarray(ref.u)[hit], atol=1e-5)
+
+    cam = rt.make_camera(eye=(15, 12, 18), target=(0, 0, 0), width=64, height=64)
+    a = rt.render_hits(scene, bvh, cam)
+    b = rt.render_hits_chunked(scene, cbvh, cam)
+    ah, bh = np.asarray(a.t), np.asarray(b.t)
+    np.testing.assert_array_equal(
+        ah == rt.constants.MAX_FLOAT, bh == rt.constants.MAX_FLOAT
+    )
+    m = ah < rt.constants.MAX_FLOAT
+    np.testing.assert_allclose(ah[m], bh[m], rtol=2e-6)

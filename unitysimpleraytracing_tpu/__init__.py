@@ -26,6 +26,12 @@ from unitysimpleraytracing_tpu.core.texture import (
 )
 from unitysimpleraytracing_tpu.core.types import Bvh, HitRecord, Scene, Triangles
 from unitysimpleraytracing_tpu.pipeline.build import build_bvh, deform_scene, refit_bvh
+from unitysimpleraytracing_tpu.pipeline.chunked import (
+    ChunkedBvh,
+    build_bvh_chunked,
+    render_hits_chunked,
+    trace_chunked,
+)
 from unitysimpleraytracing_tpu.pipeline.render import (
     frame_to_image,
     render_frame,
@@ -43,9 +49,12 @@ __all__ = [
     "Scene",
     "Texture",
     "Triangles",
+    "ChunkedBvh",
     "build_bvh",
+    "build_bvh_chunked",
     "deform_scene",
     "refit_bvh",
+    "trace_chunked",
     "build_scene",
     "constants",
     "cube_mesh",
@@ -57,6 +66,7 @@ __all__ = [
     "terrain_mesh",
     "render_frame",
     "render_hits",
+    "render_hits_chunked",
     "render_rgba",
     "solid_texture",
     "texture_from_array",

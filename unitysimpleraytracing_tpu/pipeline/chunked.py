@@ -1,0 +1,129 @@
+"""Large-scene single-chip path: chunked BVH build + traversal.
+
+The Pallas traversal kernel requires its node/triangle tables resident in
+VMEM (~16 MB/core → ≤ ~100K triangles, ops/trace_pallas).  Scenes beyond that
+are split into Morton-contiguous chunks (the same partitioning the
+distributed layer shards across devices, parallel/dist.py), each chunk gets
+its own VMEM-sized LBVH, and rays fold a running best hit over the chunks —
+streaming table-sized working sets through VMEM as successive kernel launches
+instead of randomly gathering from HBM.  The reference has no analog (it is
+hard-capped at 524 288 triangles, Constants.cs:6).
+
+Tie semantics: equal-t hits resolve to the lowest chunk (lowest Morton
+range), like the distributed all-gather combine; within a chunk, DFS order.
+"""
+from __future__ import annotations
+
+import functools
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from unitysimpleraytracing_tpu import constants as C
+from unitysimpleraytracing_tpu.core.types import Bvh, HitRecord, Scene, Triangles
+from unitysimpleraytracing_tpu.ops.dispatch import trace_rays
+from unitysimpleraytracing_tpu.parallel import dist
+
+
+@flax.struct.dataclass
+class ChunkedBvh:
+    """Morton-range chunked scene + per-chunk LBVHs (stacked on axis 0)."""
+
+    sscene: dist.ShardedScene
+    bvhs: Bvh  # every field stacked (S, ...)
+
+    @property
+    def num_chunks(self) -> int:
+        return self.sscene.num_shards
+
+    @property
+    def capacity(self) -> int:
+        return self.sscene.shard_capacity
+
+
+def build_bvh_chunked(scene: Scene, chunk_capacity: int = 65536) -> ChunkedBvh:
+    """Partition + build one LBVH per chunk (vmapped over chunks)."""
+    n = scene.count
+    num_chunks = max(-(-n // chunk_capacity), 1)
+    sscene = dist.partition_scene(scene, num_chunks)
+    bvhs = jax.vmap(dist._local_build)(
+        sscene.morton, sscene.aabb_min, sscene.aabb_max, sscene.counts
+    )
+    return ChunkedBvh(sscene=sscene, bvhs=bvhs)
+
+
+def _chunk_scene(ss: dist.ShardedScene, s: int, cap: int) -> Scene:
+    tris = Triangles(
+        a=ss.tri_a[s], b=ss.tri_b[s], c=ss.tri_c[s],
+        a_uv=ss.a_uv[s], b_uv=ss.b_uv[s], c_uv=ss.c_uv[s],
+        a_normal=ss.a_normal[s], b_normal=ss.b_normal[s], c_normal=ss.c_normal[s],
+        count=cap,
+    )
+    return Scene(
+        triangles=tris,
+        aabb_min=ss.aabb_min[s],
+        aabb_max=ss.aabb_max[s],
+        morton=ss.morton[s],
+        tri_index=ss.global_tri[s],
+        count=cap,
+    )
+
+
+def _chunk_bvh(bvhs: Bvh, s: int, cap: int) -> Bvh:
+    return Bvh(
+        left=bvhs.left[s], right=bvhs.right[s],
+        left_is_leaf=bvhs.left_is_leaf[s], right_is_leaf=bvhs.right_is_leaf[s],
+        internal_parent=bvhs.internal_parent[s], leaf_parent=bvhs.leaf_parent[s],
+        node_aabb_min=bvhs.node_aabb_min[s], node_aabb_max=bvhs.node_aabb_max[s],
+        sorted_tri=bvhs.sorted_tri[s], depth=bvhs.depth[s],
+        count=cap,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("impl",))
+def trace_chunked(
+    cbvh: ChunkedBvh,
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    impl: str = "auto",
+) -> HitRecord:
+    """Nearest hit over all chunks; ``tri`` is the ORIGINAL scene triangle id."""
+    S, cap = cbvh.num_chunks, cbvh.capacity
+    R = origins.shape[0]
+    best = HitRecord(
+        t=jnp.full((R,), C.MAX_FLOAT, jnp.float32),
+        tri=jnp.zeros((R,), jnp.int32),
+        u=jnp.zeros((R,), jnp.float32),
+        v=jnp.zeros((R,), jnp.float32),
+    )
+    for s in range(S):  # static unroll: one VMEM-sized kernel launch per chunk
+        scene_s = _chunk_scene(cbvh.sscene, s, cap)
+        h = trace_rays(scene_s, _chunk_bvh(cbvh.bvhs, s, cap), origins, dirs, impl=impl)
+        win = h.t < best.t  # ties → lowest Morton chunk
+        gtri = cbvh.sscene.global_tri[s][h.tri]
+        best = HitRecord(
+            t=jnp.where(win, h.t, best.t),
+            tri=jnp.where(win, gtri, best.tri),
+            u=jnp.where(win, h.u, best.u),
+            v=jnp.where(win, h.v, best.v),
+        )
+    return best
+
+
+def render_hits_chunked(
+    scene: Scene, cbvh: ChunkedBvh, cam, impl: str = "auto"
+) -> HitRecord:
+    """Primary-ray trace of a chunked scene in tile-major packet order
+    (mirrors ops/dispatch.camera_trace); ``scene`` is the original unchunked
+    scene, used only for shape/shading downstream."""
+    from unitysimpleraytracing_tpu.core.camera import generate_rays
+    from unitysimpleraytracing_tpu.ops import trace_packet
+
+    origins, dirs = generate_rays(cam)
+    h, w = cam.height, cam.width
+    if h % 32 == 0 and w % 32 == 0:
+        perm, inv = trace_packet.tiled_ray_order(h, w, 32)
+        hits = trace_chunked(cbvh, origins[perm], dirs[perm], impl=impl)
+        return HitRecord(t=hits.t[inv], tri=hits.tri[inv], u=hits.u[inv], v=hits.v[inv])
+    return trace_chunked(cbvh, origins, dirs, impl=impl)
