@@ -20,9 +20,10 @@ import numpy as np
 from unitysimpleraytracing_tpu.core.types import Bvh, HitRecord, Scene
 from unitysimpleraytracing_tpu.ops import trace, trace_packet, trace_pallas
 
-# VMEM budget: packed node+triangle tables cost 128 B per element
-# (trace_pallas table layout); keep both ≲ 13 MB of the ~16 MB/core VMEM.
-PALLAS_MAX_CAPACITY = 100_000
+# VMEM budget: measured 128 MB/core on the bench chip (see trace_pallas).
+# Packed node+triangle tables cost 128 B per element → ~600K fits with room
+# for the ray/output windows; beyond that the chunked/sharded paths take over.
+PALLAS_MAX_CAPACITY = trace_pallas.PACKED_MAX_CAPACITY
 
 
 def resolve_impl(impl: str, capacity: int) -> str:
@@ -40,10 +41,13 @@ def trace_rays(
     origins: jnp.ndarray,
     dirs: jnp.ndarray,
     impl: str = "auto",
+    tables=None,
 ) -> HitRecord:
     """Trace an (R, 3) ray batch with the chosen engine, padding R as needed.
 
     Rays should arrive in a coherent order (image-tile order for camera rays).
+    ``tables`` optionally carries `trace_pallas.prepare_tables` output so a
+    static scene is packed once, not per frame.
     """
     impl = resolve_impl(impl, bvh.capacity)
     if impl == "perray":
@@ -58,7 +62,8 @@ def trace_rays(
 
     if impl == "pallas":
         hits = trace_pallas.traverse_packets_pallas(
-            scene, bvh, origins, dirs, interpret=jax.default_backend() == "cpu"
+            scene, bvh, origins, dirs,
+            interpret=jax.default_backend() == "cpu", tables=tables,
         )
     elif impl == "packet":
         hits = trace_packet.traverse_packets(scene, bvh, origins, dirs, packet_size=packet)
@@ -79,6 +84,7 @@ def occluded(
     dirs: jnp.ndarray,
     impl: str = "auto",
     eps: float = 4e-3,
+    tables=None,
 ) -> jnp.ndarray:
     """Shadow/occlusion query: True where geometry blocks the ray beyond
     ``eps`` of its origin.  A capability beyond the reference (its shading
@@ -98,11 +104,31 @@ def occluded(
     )
     far = 4.0 * ext + jnp.max(jnp.abs(origins)) + 1.0
     back_origins = origins + dirs * far
-    hits = trace_rays(scene, bvh, back_origins, -dirs, impl=impl)
+    hits = trace_rays(scene, bvh, back_origins, -dirs, impl=impl, tables=tables)
     return hits.hit & (hits.t < far - eps)
 
 
-def camera_trace(scene: Scene, bvh: Bvh, cam, impl: str = "auto") -> HitRecord:
+def _tile_major(x: jnp.ndarray, h: int, w: int, tile: int) -> jnp.ndarray:
+    """Row-major (H*W, ...) → 2D-tile-major, as a reshape/transpose (the
+    permutation of trace_packet.tiled_ray_order without the gather — TPU
+    gathers of 262K rows cost milliseconds; transposes are ~free)."""
+    rest = x.shape[1:]
+    x = x.reshape(h // tile, tile, w // tile, tile, *rest)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape(h * w, *rest)
+
+
+def _row_major(x: jnp.ndarray, h: int, w: int, tile: int) -> jnp.ndarray:
+    """Inverse of `_tile_major`."""
+    rest = x.shape[1:]
+    x = x.reshape(h // tile, w // tile, tile, tile, *rest)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape(h * w, *rest)
+
+
+def camera_trace(
+    scene: Scene, bvh: Bvh, cam, impl: str = "auto", tables=None
+) -> HitRecord:
     """Primary-ray trace in tile-major order (the reference's 32×32 thread
     groups, RaytracingMeshDrawer.cs:83), results returned in row-major pixel
     order."""
@@ -111,9 +137,18 @@ def camera_trace(scene: Scene, bvh: Bvh, cam, impl: str = "auto") -> HitRecord:
     origins, dirs = generate_rays(cam)
     h, w = cam.height, cam.width
     if h % 32 == 0 and w % 32 == 0:
-        perm, inv = trace_packet.tiled_ray_order(h, w, 32)
-        hits = trace_rays(scene, bvh, origins[perm], dirs[perm], impl=impl)
+        hits = trace_rays(
+            scene,
+            bvh,
+            _tile_major(origins, h, w, 32),
+            _tile_major(dirs, h, w, 32),
+            impl=impl,
+            tables=tables,
+        )
         return HitRecord(
-            t=hits.t[inv], tri=hits.tri[inv], u=hits.u[inv], v=hits.v[inv]
+            t=_row_major(hits.t, h, w, 32),
+            tri=_row_major(hits.tri, h, w, 32),
+            u=_row_major(hits.u, h, w, 32),
+            v=_row_major(hits.v, h, w, 32),
         )
     return trace_rays(scene, bvh, origins, dirs, impl=impl)

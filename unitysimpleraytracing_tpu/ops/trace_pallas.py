@@ -7,28 +7,54 @@ ops; a BVH traversal takes hundreds-to-thousands of steps, so step overhead
 dominates by 100×.  Here the whole DFS runs inside one Pallas program: the
 shared packet stack is an SMEM scratch array, node/triangle tables sit in
 VMEM, node fetches are scalar loads, and every per-ray operation is dense
-(8, 128)-register math.  A step costs ~100 ns instead of ~20 µs.
+(8, 128)-register math.
 
-Semantics are identical to `trace_packet` (and therefore to the reference's
-per-pixel DFS, Raytracing.compute:129-176): pop → slab-test packet vs node →
-left child push-or-intersect → right child push-or-intersect, strict-<
-acceptance; packet over-visits cannot change any ray's result (box-inclusion
-monotonicity — see trace_packet module docstring).
+Traversal scheme (child-pair DFS with ordering + culling): each popped node
+record carries BOTH children's AABBs; the packet slab-tests the two child
+boxes, intersects leaf children in place, and pushes internal children
+far-then-near (packet majority vote on slab tmin), so the near subtree is
+explored first.  Two exact refinements over the reference's blind DFS
+(Raytracing.compute:129-176):
 
-Table layout: VMEM tiles are (8, 128) f32, so a naive (cap, 9)-column table
-pads each row to 128 lanes — 16x wasted VMEM (the whole budget is ~16 MB/core).
-Instead each table packs 8 records per 128-lane row (16 f32 slots per record);
-a record fetch is a dynamic-sublane access with the lane base made static by an
-8-way ``lax.switch`` on ``k % 8``.  Child/triangle indices are stored as exact
-f32 (capacity < 2^24) so no bitcasting is needed in-kernel.
+- **t-culling**: a child is live for a ray only when its slab entry distance
+  satisfies ``tmin < t_cur``.  Any triangle inside the child box hits at
+  ``t >= tmin`` (the hit point lies in the box, and triangle AABBs are
+  inflated by 1e-3 — MeshBufferContainer.cs:55-63 — which dwarfs slab
+  rounding for scene extents ≲ 8e3), so a culled subtree can never win the
+  strict ``t_new < t_cur`` compare.  Identical hit set, far fewer visits.
+- **near-child-first ordering**: shrinks ``t_cur`` as early as possible so the
+  cull bites.  Ordering can flip which of two EXACTLY-tied triangles (shared
+  edges) is reported — the parity bar bounds those ties (BASELINE.json: ids
+  bit-identical except ULP-level t ties; see tests/test_trace.py).
 
-Capacity: both tables together cost 128 B per element → ≤ ~100K triangles per
-kernel launch within VMEM.  Larger scenes use the sharded path
-(parallel/dist.py) or the XLA fallback until the HBM-resident variant lands.
+The leaf child's stored box is the triangle's inflated AABB, so the slab gate
+already IS the reference's leaf AABB pre-test (Raytracing.compute:91); the
+leaf record then only needs the 9 vertex scalars.
+
+Per-step cost anatomy (measured on v5e): the loop is bound by scalar↔vector
+boundary crossings, not by VPU math — (a) the scalar fetch of the node
+record, (b) cross-lane reductions feeding push decisions.  Hence:
+
+- **Two table layouts.**  ``flat``: one record per (16-lane) row, fetched as
+  ``tab[k, c]`` with a static lane — the fastest scalar-load form Mosaic
+  emits (~90 ns/step cheaper than any dynamic-lane scheme).  Rows pad
+  16 → 128 lanes, so a record costs 512 B of VMEM; with the measured
+  128 MB/core VMEM (bench chip, v5e) both tables fit scenes ≤ ~96K tris.
+  ``packed``: 8 records per 128-lane row (the lane base made static by an
+  8-way ``lax.switch`` on ``k % 8``), 64 B/record, for scenes ≤ ~600K tris;
+  beyond that the chunked/sharded paths take over.
+- **Two reductions per step, not four.**  ``any(hit_l)``/``any(hit_r)`` come
+  from ONE packed integer sum (hit_r weighted 2048; counts ≤ 1024 cannot
+  collide), and the near-child vote is a single signed sum
+  (+1 where tmin_l<=tmin_r, −1 otherwise, over rays hitting both).
+
+Child/triangle indices are stored as exact f32 (capacity < 2^24) so no
+bitcasting is needed in-kernel.
 """
 from __future__ import annotations
 
 import functools
+import weakref
 
 import jax
 import jax.numpy as jnp
@@ -44,27 +70,34 @@ _SUB, _LANE = 8, 128
 
 
 _SLOTS = 16          # f32 slots per packed record
-_PACK = 128 // _SLOTS  # 8 records per 128-lane row
+_PACK = 128 // _SLOTS  # 8 records per 128-lane row (packed layout)
+
+# VMEM on the bench chip measures 128 MB/core (a (262144,16) f32 window fails
+# compile at "128.01M of 128.00M vmem"; (131072,16) compiles).  Flat records
+# cost 512 B × 2 tables; packed cost 64 B × 2 tables.
+FLAT_MAX_CAPACITY = 96_000
+PACKED_MAX_CAPACITY = 600_000
 
 
-@functools.partial(jax.jit, static_argnames=())
-def pack_tables(scene: Scene, bvh: Bvh):
-    """Flatten scene+BVH into two packed kernel tables, (cap/8, 128) f32 each.
+@functools.partial(jax.jit, static_argnames=("flat",))
+def pack_tables(scene: Scene, bvh: Bvh, flat: bool = True):
+    """Flatten scene+BVH into the two kernel tables.
 
-    Record k lives at row k//8, lanes (k%8)*16 .. +15.
+    nodes slots: [lmin.xyz, lmax.xyz, rmin.xyz, rmax.xyz, left_idx, right_idx,
+        flags, 0] where the child boxes are the child NODE AABBs for internal
+        children and the child triangle's inflated AABB for leaf children
+        (pre-resolving the leaf indirection Raytracing.compute:156,172 AND the
+        leaf AABB pre-test box :91); *_idx is the child node id for internal
+        children and the TRIANGLE id (sorted_tri[leaf]) for leaf children;
+        flags bit0/bit1 = left/right child is leaf.  Indices/flags stored as
+        exact f32.
+    tris slots:  [a.xyz, b.xyz, c.xyz, 0*7]
 
-    nodes slots: [bmin.xyz, bmax.xyz, left_idx, right_idx, flags, 0*7] where
-        *_idx is the child node id for internal children and the TRIANGLE id
-        (sorted_tri[leaf]) for leaf children — the leaf indirection
-        (Raytracing.compute:156,172) is pre-resolved; flags bit0/bit1 =
-        left/right child is leaf.  Indices/flags stored as exact f32.
-    tris slots:  [a.xyz, b.xyz, c.xyz, bmin.xyz, bmax.xyz, 0]
+    ``flat=True`` → (cap, 16) one record per row; ``flat=False`` → packed
+    (cap/8, 128), record k at row k//8, lanes (k%8)*16..+15.
     """
     cap = bvh.capacity
     assert cap % _PACK == 0
-    nodes = jnp.zeros((cap, _SLOTS), jnp.float32)
-    nodes = nodes.at[:, 0:3].set(bvh.node_aabb_min)
-    nodes = nodes.at[:, 3:6].set(bvh.node_aabb_max)
 
     lc = jnp.clip(bvh.left, 0, cap - 1)
     rc = jnp.clip(bvh.right, 0, cap - 1)
@@ -73,17 +106,35 @@ def pack_tables(scene: Scene, bvh: Bvh):
     flags = bvh.left_is_leaf.astype(jnp.int32) | (
         bvh.right_is_leaf.astype(jnp.int32) << 1
     )
-    nodes = nodes.at[:, 6].set(left_idx.astype(jnp.float32))
-    nodes = nodes.at[:, 7].set(right_idx.astype(jnp.float32))
-    nodes = nodes.at[:, 8].set(flags.astype(jnp.float32))
+
+    def child_box(child, is_leaf, tri_of_child):
+        bmin = jnp.where(
+            is_leaf[:, None], scene.aabb_min[tri_of_child], bvh.node_aabb_min[child]
+        )
+        bmax = jnp.where(
+            is_leaf[:, None], scene.aabb_max[tri_of_child], bvh.node_aabb_max[child]
+        )
+        return bmin, bmax
+
+    lmin, lmax = child_box(lc, bvh.left_is_leaf, left_idx)
+    rmin, rmax = child_box(rc, bvh.right_is_leaf, right_idx)
+
+    nodes = jnp.zeros((cap, _SLOTS), jnp.float32)
+    nodes = nodes.at[:, 0:3].set(lmin)
+    nodes = nodes.at[:, 3:6].set(lmax)
+    nodes = nodes.at[:, 6:9].set(rmin)
+    nodes = nodes.at[:, 9:12].set(rmax)
+    nodes = nodes.at[:, 12].set(left_idx.astype(jnp.float32))
+    nodes = nodes.at[:, 13].set(right_idx.astype(jnp.float32))
+    nodes = nodes.at[:, 14].set(flags.astype(jnp.float32))
 
     t = scene.triangles
     tris = jnp.zeros((cap, _SLOTS), jnp.float32)
     tris = tris.at[:, 0:3].set(t.a)
     tris = tris.at[:, 3:6].set(t.b)
     tris = tris.at[:, 6:9].set(t.c)
-    tris = tris.at[:, 9:12].set(scene.aabb_min)
-    tris = tris.at[:, 12:15].set(scene.aabb_max)
+    if flat:
+        return nodes, tris
     return (
         nodes.reshape(cap // _PACK, 128),
         tris.reshape(cap // _PACK, 128),
@@ -98,9 +149,14 @@ def _d3d_max(a, b):
     return jnp.where(jnp.isnan(a), b, jnp.where(jnp.isnan(b), a, jnp.maximum(a, b)))
 
 
-def _fetch(tab, k, count):
-    """Read ``count`` scalar slots of packed record ``k``: dynamic sublane row,
-    lane base made static via an 8-way switch on k % 8."""
+def _fetch(tab, k, count, flat):
+    """Read ``count`` scalar slots of record ``k``.
+
+    flat: dynamic row, static lane — single scalar load each.
+    packed: dynamic sublane row, lane base made static via an 8-way switch.
+    """
+    if flat:
+        return tuple(tab[k, c] for c in range(count))
     r = k // _PACK
 
     def make(j):
@@ -112,133 +168,167 @@ def _fetch(tab, k, count):
     return jax.lax.switch(k % _PACK, [make(j) for j in range(_PACK)], None)
 
 
-def _kernel(nodes, tris, rays, out, stack):
-    """One grid program = one packet of PACKET rays."""
-    shape = (_SUB, _LANE)
+def _make_kernel(flat):
+    def _kernel(nodes, tris, rays, out, stack):
+        """One grid program = one packet of PACKET rays."""
+        shape = (_SUB, _LANE)
 
-    def row(k):
-        return rays[0, k].reshape(shape)
+        def row(k):
+            return rays[0, k].reshape(shape)
 
-    ox, oy, oz = row(0), row(1), row(2)
-    dx, dy, dz = row(3), row(4), row(5)
-    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+        ox, oy, oz = row(0), row(1), row(2)
+        dx, dy, dz = row(3), row(4), row(5)
+        ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
 
-    def slab(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz):
-        t1x = (bminx - ox) * ix
-        t2x = (bmaxx - ox) * ix
-        t1y = (bminy - oy) * iy
-        t2y = (bmaxy - oy) * iy
-        t1z = (bminz - oz) * iz
-        t2z = (bmaxz - oz) * iz
-        tmin = _d3d_max(
-            _d3d_min(t1x, t2x), _d3d_max(_d3d_min(t1y, t2y), _d3d_min(t1z, t2z))
+        def slab(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz, t_cur):
+            """Reference slab accept (tmax>tmin && tmax>0,
+            Raytracing.compute:86) refined with the exact ``tmin < t_cur``
+            cull; also returns tmin for the near-child vote."""
+            t1x = (bminx - ox) * ix
+            t2x = (bmaxx - ox) * ix
+            t1y = (bminy - oy) * iy
+            t2y = (bmaxy - oy) * iy
+            t1z = (bminz - oz) * iz
+            t2z = (bmaxz - oz) * iz
+            tmin = _d3d_max(
+                _d3d_min(t1x, t2x), _d3d_max(_d3d_min(t1y, t2y), _d3d_min(t1z, t2z))
+            )
+            tmax = _d3d_min(
+                _d3d_max(t1x, t2x), _d3d_min(_d3d_max(t1y, t2y), _d3d_max(t1z, t2z))
+            )
+            return (tmax > tmin) & (tmax > 0) & (tmin < t_cur), tmin
+
+        def leaf_test(tri_idx, gate, state):
+            """Möller–Trumbore with the reference's acceptance quirks
+            (det∈(−1e-8,1e-8) reject, no t>0 test, strict < keep;
+            Raytracing.compute:37-73,95-99).  ``gate`` is the leaf-box slab
+            mask — the reference's CheckTriangle AABB pre-test, already
+            evaluated on the child box."""
+            t_cur, tri_cur, u_cur, v_cur = state
+            (ax, ay, az, bx, by, bz, cx, cy, cz) = _fetch(tris, tri_idx, 9, flat)
+            e1x, e1y, e1z = bx - ax, by - ay, bz - az
+            e2x, e2y, e2z = cx - ax, cy - ay, cz - az
+            # pvec = dir × e2 (scalars broadcast against ray registers)
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = 1.0 / det
+            tvx, tvy, tvz = ox - ax, oy - ay, oz - az
+            u = (tvx * px + tvy * py + tvz * pz) * inv_det
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t_new = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            reject = (
+                ((det < 1e-8) & (det > -1e-8))
+                | ((u < 0) | (u > 1))
+                | ((v < 0) | (u + v > 1))
+            )
+            t_new = jnp.where(reject, jnp.float32(C.MAX_FLOAT), t_new)
+            accept = gate & (t_new < t_cur)
+            return (
+                jnp.where(accept, t_new, t_cur),
+                jnp.where(accept, tri_idx, tri_cur),
+                jnp.where(accept, u, u_cur),
+                jnp.where(accept, v, v_cur),
+            )
+
+        stack[0] = 0
+
+        def cond(carry):
+            sp, *_ = carry
+            return sp > 0
+
+        def body(carry):
+            sp, t, tri, u, v = carry
+            sp = sp - 1
+            node = stack[sp]
+
+            (lx0, ly0, lz0, lx1, ly1, lz1,
+             rx0, ry0, rz0, rx1, ry1, rz1, lf, rf, ff) = _fetch(nodes, node, 15, flat)
+            hit_l, tmin_l = slab(lx0, ly0, lz0, lx1, ly1, lz1, t)
+            hit_r, tmin_r = slab(rx0, ry0, rz0, rx1, ry1, rz1, t)
+
+            # ONE packed reduction for both any() votes (counts ≤ 1024 < 2048),
+            # one signed reduction for the near-child majority vote.
+            counts = jnp.sum(
+                hit_l.astype(jnp.int32) + (hit_r.astype(jnp.int32) << 11)
+            )
+            any_l = (counts & 2047) > 0
+            any_r = (counts >> 11) > 0
+            both_mask = hit_l & hit_r
+            vote = jnp.sum(
+                jnp.where(both_mask, jnp.where(tmin_l <= tmin_r, 1, -1), 0)
+            )
+            l_near = vote >= 0
+
+            left_idx = lf.astype(jnp.int32)
+            right_idx = rf.astype(jnp.int32)
+            flags = ff.astype(jnp.int32)
+            lleaf = (flags & 1) == 1
+            rleaf = (flags & 2) == 2
+
+            # Leaf children: intersect in place, gated by their own box mask.
+            t, tri, u, v = jax.lax.cond(
+                any_l & lleaf,
+                lambda s: leaf_test(left_idx, hit_l, s),
+                lambda s: s,
+                (t, tri, u, v),
+            )
+            t, tri, u, v = jax.lax.cond(
+                any_r & rleaf,
+                lambda s: leaf_test(right_idx, hit_r, s),
+                lambda s: s,
+                (t, tri, u, v),
+            )
+
+            # Internal children: push far-then-near so the near subtree is
+            # explored first.
+            push_l = any_l & ~lleaf
+            push_r = any_r & ~rleaf
+            both = push_l & push_r
+
+            first = jnp.where(
+                both,
+                jnp.where(l_near, right_idx, left_idx),
+                jnp.where(push_l, left_idx, right_idx),
+            )
+            second = jnp.where(l_near, left_idx, right_idx)
+            # A write above the live top is harmless when sp doesn't advance.
+            stack[sp] = first
+            sp = sp + jnp.where(push_l | push_r, 1, 0)
+            stack[sp] = second
+            sp = sp + jnp.where(both, 1, 0)
+            return sp, t, tri, u, v
+
+        t0 = jnp.full(shape, C.MAX_FLOAT, jnp.float32)
+        tri0 = jnp.zeros(shape, jnp.int32)
+        z = jnp.zeros(shape, jnp.float32)
+        _, t, tri, u, v = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), t0, tri0, z, z)
         )
-        tmax = _d3d_min(
-            _d3d_max(t1x, t2x), _d3d_min(_d3d_max(t1y, t2y), _d3d_max(t1z, t2z))
-        )
-        return (tmax > tmin) & (tmax > 0)
 
-    def leaf_test(tri_idx, gate, state):
-        t_cur, tri_cur, u_cur, v_cur = state
-        (ax, ay, az, bx, by, bz, cx, cy, cz,
-         bmnx, bmny, bmnz, bmxx, bmxy, bmxz) = _fetch(tris, tri_idx, 15)
-        box_ok = slab(bmnx, bmny, bmnz, bmxx, bmxy, bmxz)
-        e1x, e1y, e1z = bx - ax, by - ay, bz - az
-        e2x, e2y, e2z = cx - ax, cy - ay, cz - az
-        # pvec = dir × e2 (scalars broadcast against ray registers)
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        inv_det = 1.0 / det
-        tvx, tvy, tvz = ox - ax, oy - ay, oz - az
-        u = (tvx * px + tvy * py + tvz * pz) * inv_det
-        qx = tvy * e1z - tvz * e1y
-        qy = tvz * e1x - tvx * e1z
-        qz = tvx * e1y - tvy * e1x
-        v = (dx * qx + dy * qy + dz * qz) * inv_det
-        t_new = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-        reject = (
-            ((det < 1e-8) & (det > -1e-8))
-            | ((u < 0) | (u > 1))
-            | ((v < 0) | (u + v > 1))
-        )
-        t_new = jnp.where(reject, jnp.float32(C.MAX_FLOAT), t_new)
-        accept = gate & box_ok & (t_new < t_cur)
-        return (
-            jnp.where(accept, t_new, t_cur),
-            jnp.where(accept, tri_idx, tri_cur),
-            jnp.where(accept, u, u_cur),
-            jnp.where(accept, v, v_cur),
-        )
+        out[0, 0] = t.reshape(PACKET)
+        out[0, 1] = pltpu.bitcast(tri, jnp.float32).reshape(PACKET)
+        out[0, 2] = u.reshape(PACKET)
+        out[0, 3] = v.reshape(PACKET)
 
-    stack[0] = 0
-
-    def cond(carry):
-        sp, *_ = carry
-        return sp > 0
-
-    def body(carry):
-        sp, t, tri, u, v = carry
-        sp = sp - 1
-        node = stack[sp]
-
-        (nx0, ny0, nz0, nx1, ny1, nz1, lf, rf, ff) = _fetch(nodes, node, 9)
-        hit = slab(nx0, ny0, nz0, nx1, ny1, nz1)
-        any_hit = jnp.any(hit)
-        gate = hit & any_hit
-
-        left_idx = lf.astype(jnp.int32)
-        right_idx = rf.astype(jnp.int32)
-        flags = ff.astype(jnp.int32)
-        lleaf = (flags & 1) == 1
-        rleaf = (flags & 2) == 2
-
-        # Left child: push internal / intersect leaf. A write above the live
-        # top is harmless when sp doesn't advance.
-        stack[sp] = left_idx
-        sp = sp + jnp.where(any_hit & ~lleaf, 1, 0)
-        t, tri, u, v = jax.lax.cond(
-            any_hit & lleaf,
-            lambda s: leaf_test(left_idx, gate, s),
-            lambda s: s,
-            (t, tri, u, v),
-        )
-
-        stack[sp] = right_idx
-        sp = sp + jnp.where(any_hit & ~rleaf, 1, 0)
-        t, tri, u, v = jax.lax.cond(
-            any_hit & rleaf,
-            lambda s: leaf_test(right_idx, gate, s),
-            lambda s: s,
-            (t, tri, u, v),
-        )
-        return sp, t, tri, u, v
-
-    t0 = jnp.full(shape, C.MAX_FLOAT, jnp.float32)
-    tri0 = jnp.zeros(shape, jnp.int32)
-    z = jnp.zeros(shape, jnp.float32)
-    _, t, tri, u, v = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), t0, tri0, z, z)
-    )
-
-    out[0, 0] = t.reshape(PACKET)
-    out[0, 1] = pltpu.bitcast(tri, jnp.float32).reshape(PACKET)
-    out[0, 2] = u.reshape(PACKET)
-    out[0, 3] = v.reshape(PACKET)
+    return _kernel
 
 
 @functools.lru_cache(maxsize=64)
-def _traversal_fn(T: int, cap: int, interpret: bool):
+def _traversal_fn(T: int, cap: int, flat: bool, interpret: bool):
     """Build + cache the jitted kernel wrapper for a (packets, capacity) shape."""
 
-    rows = cap // _PACK
+    tab_shape = (cap, _SLOTS) if flat else (cap // _PACK, 128)
     call = pl.pallas_call(
-        _kernel,
+        _make_kernel(flat),
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tab_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tab_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -264,22 +354,56 @@ def _traversal_fn(T: int, cap: int, interpret: bool):
     return run
 
 
+_TABLE_CACHE = weakref.WeakKeyDictionary()
+
+
+def prepare_tables(scene: Scene, bvh: Bvh):
+    """Packed kernel tables for (scene, bvh), cached per Bvh instance.
+
+    Packing costs several HBM passes (~4 ms at 65K tris); a static scene
+    re-traced every frame must not repay it — the reference likewise packs
+    once in Awake and only dispatches per frame (RaytracingMeshDrawer.cs:76).
+    Inside a jit trace (tracer inputs) the cache is bypassed and packing
+    fuses into the caller's program.
+    """
+    flat = bvh.capacity <= FLAT_MAX_CAPACITY
+    if isinstance(jnp.asarray(bvh.left), jax.core.Tracer):
+        return pack_tables(scene, bvh, flat=flat)
+    try:
+        ent = _TABLE_CACHE.get(bvh)
+    except TypeError:
+        ent = None
+    if ent is not None and ent[0] == (id(scene), flat):
+        return ent[1]
+    tables = pack_tables(scene, bvh, flat=flat)
+    try:
+        _TABLE_CACHE[bvh] = ((id(scene), flat), tables)
+    except TypeError:
+        pass
+    return tables
+
+
 def traverse_packets_pallas(
     scene: Scene,
     bvh: Bvh,
     origins: jnp.ndarray,
     dirs: jnp.ndarray,
     interpret: bool = False,
+    tables=None,
 ) -> HitRecord:
     """Kernel-based nearest-hit traversal over (R, 3) rays.
 
     R must be a multiple of PACKET (1024); order rays coherently
-    (`trace_packet.tiled_ray_order`).  Bit-compatible with `trace.traverse`.
+    (`trace_packet.tiled_ray_order`).  Hit-compatible with `trace.traverse`
+    up to exact-t ties (traversal order is near-child-first here; the strict-<
+    keep makes every non-tied result identical).  ``tables`` may carry the
+    `prepare_tables` result to skip per-call packing.
     """
     R = origins.shape[0]
     assert R % PACKET == 0, f"{R} rays not divisible by {PACKET}"
     T = R // PACKET
-    nodes, tris = pack_tables(scene, bvh)
-    run = _traversal_fn(T, bvh.capacity, interpret)
+    flat = bvh.capacity <= FLAT_MAX_CAPACITY
+    nodes, tris = tables if tables is not None else prepare_tables(scene, bvh)
+    run = _traversal_fn(T, bvh.capacity, flat, interpret)
     t, tri, u, v = run(nodes, tris, origins, dirs)
     return HitRecord(t=t, tri=tri, u=u, v=v)

@@ -15,21 +15,33 @@ import jax.numpy as jnp
 from unitysimpleraytracing_tpu.core.camera import Camera
 from unitysimpleraytracing_tpu.core.texture import Texture
 from unitysimpleraytracing_tpu.core.types import Bvh, HitRecord, Scene
-from unitysimpleraytracing_tpu.ops import trace
+from unitysimpleraytracing_tpu.ops import trace, trace_pallas
 from unitysimpleraytracing_tpu.ops.dispatch import camera_trace, resolve_impl
 
 
+def _prepared(scene: Scene, bvh: Bvh, impl: str):
+    """Pack the kernel tables once per (scene, bvh) OUTSIDE the frame jit —
+    the Awake/Update split of the reference (tables are frame-invariant,
+    RaytracingMeshDrawer.cs:30-84); per-frame packing costs ~4 ms."""
+    if impl == "pallas":
+        return trace_pallas.prepare_tables(scene, bvh)
+    return None
+
+
 @functools.partial(jax.jit, static_argnames=("impl",))
-def _render_hits_impl(scene: Scene, bvh: Bvh, cam: Camera, impl: str) -> HitRecord:
-    return camera_trace(scene, bvh, cam, impl=impl)
+def _render_hits_impl(
+    scene: Scene, bvh: Bvh, cam: Camera, tables, impl: str
+) -> HitRecord:
+    return camera_trace(scene, bvh, cam, impl=impl, tables=tables)
 
 
 def render_hits(scene: Scene, bvh: Bvh, cam: Camera, impl: str = "auto") -> HitRecord:
     # Resolve "auto" outside jit so backend/capacity checks stay Python-level.
-    return _render_hits_impl(scene, bvh, cam, resolve_impl(impl, bvh.capacity))
+    impl = resolve_impl(impl, bvh.capacity)
+    return _render_hits_impl(scene, bvh, cam, _prepared(scene, bvh, impl), impl)
 
 
-def _shadow_mask(scene, bvh, hits, impl):
+def _shadow_mask(scene, bvh, hits, impl, tables=None):
     """Occlusion toward the reference's fixed directional light (1,1,1):
     shadow rays start at the hit point (reconstructed barycentrically),
     offset along the light to avoid self-intersection."""
@@ -44,13 +56,13 @@ def _shadow_mask(scene, bvh, hits, impl):
     )
     light = jnp.full((3,), 1.0 / jnp.sqrt(jnp.float32(3.0)), jnp.float32)
     dirs = jnp.broadcast_to(light, p.shape)
-    return occluded(scene, bvh, p + dirs * 1e-3, dirs, impl=impl) & hits.hit
+    return occluded(scene, bvh, p + dirs * 1e-3, dirs, impl=impl, tables=tables) & hits.hit
 
 
 @functools.partial(jax.jit, static_argnames=("impl", "shadows"))
-def _render_rgba_impl(scene, bvh, cam, tex, impl, shadows=False) -> jnp.ndarray:
-    hits = camera_trace(scene, bvh, cam, impl=impl)
-    shadow = _shadow_mask(scene, bvh, hits, impl) if shadows else None
+def _render_rgba_impl(scene, bvh, cam, tex, tables, impl, shadows=False) -> jnp.ndarray:
+    hits = camera_trace(scene, bvh, cam, impl=impl, tables=tables)
+    shadow = _shadow_mask(scene, bvh, hits, impl, tables) if shadows else None
     rgba = trace.shade(scene, tex, hits, shadow=shadow)
     return rgba.reshape(cam.height, cam.width, 4)
 
@@ -64,14 +76,15 @@ def render_rgba(
     shadows: bool = False,
 ):
     """Traced layer as (H, W, 4), row 0 = bottom (Unity UAV orientation)."""
+    impl = resolve_impl(impl, bvh.capacity)
     return _render_rgba_impl(
-        scene, bvh, cam, tex, resolve_impl(impl, bvh.capacity), shadows
+        scene, bvh, cam, tex, _prepared(scene, bvh, impl), impl, shadows
     )
 
 
 @functools.partial(jax.jit, static_argnames=("impl", "shadows"))
-def _render_frame_impl(scene, bvh, cam, tex, background, impl, shadows=False):
-    traced = _render_rgba_impl(scene, bvh, cam, tex, impl, shadows)
+def _render_frame_impl(scene, bvh, cam, tex, background, tables, impl, shadows=False):
+    traced = _render_rgba_impl(scene, bvh, cam, tex, tables, impl, shadows)
     bg = jnp.broadcast_to(
         jnp.asarray(background, jnp.float32), (cam.height, cam.width, 3)
     )
@@ -89,8 +102,9 @@ def render_frame(
 ) -> jnp.ndarray:
     """Full composited frame (H, W, 4). ``shadows=True`` adds a shadow-ray
     pass toward the fixed light (capability beyond the reference)."""
+    impl = resolve_impl(impl, bvh.capacity)
     return _render_frame_impl(
-        scene, bvh, cam, tex, background, resolve_impl(impl, bvh.capacity), shadows
+        scene, bvh, cam, tex, background, _prepared(scene, bvh, impl), impl, shadows
     )
 
 
