@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 import unitysimpleraytracing_tpu as rt
-from unitysimpleraytracing_tpu.ops import dispatch, trace
+from unitysimpleraytracing_tpu.ops import dispatch, trace, trace_pallas
 
 _TIE_RTOL = 4e-6
 
@@ -76,3 +76,55 @@ def test_pallas_kernel_shared_edge_ties_bounded():
     t_r, t_g = np.asarray(ref.t), np.asarray(got.t)
     assert np.all(t_r != rt.constants.MAX_FLOAT)
     np.testing.assert_allclose(t_g, t_r, rtol=_TIE_RTOL)
+
+
+def test_pallas_parity_at_large_scene_extent():
+    """The kernel's ``tmin < t_cur`` cull leans on the 1e-3 AABB inflation
+    (MeshBufferContainer.cs:55-63) dominating slab rounding, an argument
+    that is tightest at scene extents ~8e3 (f32 eps * 8e3 ~ 1e-3).  Pin
+    hit-mask parity near that bound so a margin regression is caught."""
+    scene = rt.build_scene(
+        rt.terrain_mesh(res=24, size=7800.0, amplitude=1100.0, seed=2)
+    )
+    bvh = rt.build_bvh(scene)
+    o, d = _rays(1024, seed=5, bound=5500.0)
+    ref = trace.traverse(scene, bvh, o, d)
+    got = dispatch.trace_rays(scene, bvh, o, d, impl="pallas")
+    _assert_hit_parity(got, ref)
+
+
+def test_packed_table_layout_parity():
+    """Force the packed (flat=False) 8-records-per-row layout on a small
+    scene — exercises the 8-way-switch `_fetch` path that production uses
+    for 96K–600K-triangle scenes (trace_pallas.py packed layout)."""
+    scene = rt.build_scene(
+        rt.random_triangle_soup(300, seed=7, bound=5.0, tri_size=1.0)
+    )
+    bvh = rt.build_bvh(scene)
+    o, d = _rays(2048, seed=3)
+    ref = trace.traverse(scene, bvh, o, d)
+    got = trace_pallas.traverse_packets_pallas(
+        scene, bvh, o, d, interpret=True, flat=False
+    )
+    _assert_hit_parity(got, ref)
+
+
+def test_prepare_tables_cache_engages_and_evicts():
+    """The per-Bvh table cache must return the SAME tables on repeat calls
+    (packing is ~4 ms/frame at 65K tris) and evict when the Bvh dies."""
+    import gc
+
+    scene = rt.build_scene(rt.cube_mesh(size=2.0))
+    bvh = rt.build_bvh(scene)
+    t1 = trace_pallas.prepare_tables(scene, bvh)
+    t2 = trace_pallas.prepare_tables(scene, bvh)
+    assert t1[0] is t2[0] and t1[1] is t2[1], "cache miss on identical (scene, bvh)"
+    key = id(bvh)
+    assert key in trace_pallas._TABLE_CACHE
+    # A different scene with the same bvh must not serve the stale entry.
+    scene2 = rt.build_scene(rt.cube_mesh(size=2.0))
+    t3 = trace_pallas.prepare_tables(scene2, bvh)
+    assert t3[0] is not t1[0]
+    del bvh
+    gc.collect()
+    assert key not in trace_pallas._TABLE_CACHE, "dead Bvh entry not evicted"

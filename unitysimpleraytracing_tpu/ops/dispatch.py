@@ -151,4 +151,4 @@ def camera_trace(
             u=_row_major(hits.u, h, w, 32),
             v=_row_major(hits.v, h, w, 32),
         )
-    return trace_rays(scene, bvh, origins, dirs, impl=impl)
+    return trace_rays(scene, bvh, origins, dirs, impl=impl, tables=tables)

@@ -67,6 +67,7 @@ from unitysimpleraytracing_tpu.core.types import Bvh, HitRecord, Scene
 
 PACKET = 1024  # rays per packet: one (8, 128) f32 register per component
 _SUB, _LANE = 8, 128
+DEFAULT_INTERLEAVE = 4  # packets co-traversed per grid step (ILP; see _make_kernel)
 
 
 _SLOTS = 16          # f32 slots per packed record
@@ -168,22 +169,36 @@ def _fetch(tab, k, count, flat):
     return jax.lax.switch(k % _PACK, [make(j) for j in range(_PACK)], None)
 
 
-def _make_kernel(flat):
+def _make_kernel(flat, G=1):
+    """Build the traversal kernel body.
+
+    ``G`` packets are traversed INTERLEAVED inside one grid step: the while
+    body advances each of the G independent DFS's by one node.  A single
+    packet's step is a serial dependency chain (scalar node fetch → vector
+    slab → cross-lane reduction → scalar push decision); G independent chains
+    in one straight-line body let Mosaic overlap their latencies.  A packet
+    whose stack empties keeps stepping (node forced to 0) with every effect
+    masked by ``alive`` — no per-packet branch, so the ILP survives; the
+    waste is bounded by duration skew within a G-group, small for adjacent
+    image tiles.  Per-packet results are bit-identical to G=1.
+    """
+
     def _kernel(nodes, tris, rays, out, stack):
-        """One grid program = one packet of PACKET rays."""
         shape = (_SUB, _LANE)
 
-        def row(k):
-            return rays[0, k].reshape(shape)
+        def rowg(g, k):
+            return rays[g, k].reshape(shape)
 
-        ox, oy, oz = row(0), row(1), row(2)
-        dx, dy, dz = row(3), row(4), row(5)
-        ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+        origin = [(rowg(g, 0), rowg(g, 1), rowg(g, 2)) for g in range(G)]
+        direc = [(rowg(g, 3), rowg(g, 4), rowg(g, 5)) for g in range(G)]
+        inv = [(1.0 / dx, 1.0 / dy, 1.0 / dz) for (dx, dy, dz) in direc]
 
-        def slab(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz, t_cur):
+        def slab(g, bminx, bminy, bminz, bmaxx, bmaxy, bmaxz, t_cur):
             """Reference slab accept (tmax>tmin && tmax>0,
             Raytracing.compute:86) refined with the exact ``tmin < t_cur``
             cull; also returns tmin for the near-child vote."""
+            ox, oy, oz = origin[g]
+            ix, iy, iz = inv[g]
             t1x = (bminx - ox) * ix
             t2x = (bmaxx - ox) * ix
             t1y = (bminy - oy) * iy
@@ -198,12 +213,14 @@ def _make_kernel(flat):
             )
             return (tmax > tmin) & (tmax > 0) & (tmin < t_cur), tmin
 
-        def leaf_test(tri_idx, gate, state):
+        def leaf_test(g, tri_idx, gate, state):
             """Möller–Trumbore with the reference's acceptance quirks
             (det∈(−1e-8,1e-8) reject, no t>0 test, strict < keep;
             Raytracing.compute:37-73,95-99).  ``gate`` is the leaf-box slab
             mask — the reference's CheckTriangle AABB pre-test, already
             evaluated on the child box."""
+            ox, oy, oz = origin[g]
+            dx, dy, dz = direc[g]
             t_cur, tri_cur, u_cur, v_cur = state
             (ax, ay, az, bx, by, bz, cx, cy, cz) = _fetch(tris, tri_idx, 9, flat)
             e1x, e1y, e1z = bx - ax, by - ay, bz - az
@@ -235,21 +252,29 @@ def _make_kernel(flat):
                 jnp.where(accept, v, v_cur),
             )
 
-        stack[0] = 0
+        for g in range(G):
+            stack[g, 0] = 0
 
         def cond(carry):
-            sp, *_ = carry
-            return sp > 0
+            sps = carry[0]
+            live = sps[0] > 0
+            for g in range(1, G):
+                live = live | (sps[g] > 0)
+            return live
 
-        def body(carry):
-            sp, t, tri, u, v = carry
-            sp = sp - 1
-            node = stack[sp]
+        def step_one(g, sp, t, tri, u, v):
+            alive = sp > 0
+            sp = jnp.where(alive, sp - 1, 0)
+            node = jnp.where(alive, stack[g, sp], 0)
 
             (lx0, ly0, lz0, lx1, ly1, lz1,
-             rx0, ry0, rz0, rx1, ry1, rz1, lf, rf, ff) = _fetch(nodes, node, 15, flat)
-            hit_l, tmin_l = slab(lx0, ly0, lz0, lx1, ly1, lz1, t)
-            hit_r, tmin_r = slab(rx0, ry0, rz0, rx1, ry1, rz1, t)
+             rx0, ry0, rz0, rx1, ry1, rz1, lf, rf, ff) = _fetch(
+                nodes, node, 15, flat
+            )
+            hit_l, tmin_l = slab(g, lx0, ly0, lz0, lx1, ly1, lz1, t)
+            hit_r, tmin_r = slab(g, rx0, ry0, rz0, rx1, ry1, rz1, t)
+            hit_l = hit_l & alive
+            hit_r = hit_r & alive
 
             # ONE packed reduction for both any() votes (counts ≤ 1024 < 2048),
             # one signed reduction for the near-child majority vote.
@@ -273,13 +298,13 @@ def _make_kernel(flat):
             # Leaf children: intersect in place, gated by their own box mask.
             t, tri, u, v = jax.lax.cond(
                 any_l & lleaf,
-                lambda s: leaf_test(left_idx, hit_l, s),
+                lambda s: leaf_test(g, left_idx, hit_l, s),
                 lambda s: s,
                 (t, tri, u, v),
             )
             t, tri, u, v = jax.lax.cond(
                 any_r & rleaf,
-                lambda s: leaf_test(right_idx, hit_r, s),
+                lambda s: leaf_test(g, right_idx, hit_r, s),
                 lambda s: s,
                 (t, tri, u, v),
             )
@@ -297,45 +322,69 @@ def _make_kernel(flat):
             )
             second = jnp.where(l_near, left_idx, right_idx)
             # A write above the live top is harmless when sp doesn't advance.
-            stack[sp] = first
+            stack[g, sp] = first
             sp = sp + jnp.where(push_l | push_r, 1, 0)
-            stack[sp] = second
+            stack[g, sp] = second
             sp = sp + jnp.where(both, 1, 0)
             return sp, t, tri, u, v
+
+        def body(carry):
+            sps, ts, tris_, us, vs = carry
+            outs = [
+                step_one(g, sps[g], ts[g], tris_[g], us[g], vs[g])
+                for g in range(G)
+            ]
+            return (
+                tuple(o[0] for o in outs),
+                tuple(o[1] for o in outs),
+                tuple(o[2] for o in outs),
+                tuple(o[3] for o in outs),
+                tuple(o[4] for o in outs),
+            )
 
         t0 = jnp.full(shape, C.MAX_FLOAT, jnp.float32)
         tri0 = jnp.zeros(shape, jnp.int32)
         z = jnp.zeros(shape, jnp.float32)
-        _, t, tri, u, v = jax.lax.while_loop(
-            cond, body, (jnp.int32(1), t0, tri0, z, z)
+        init = (
+            tuple(jnp.int32(1) for _ in range(G)),
+            tuple(t0 for _ in range(G)),
+            tuple(tri0 for _ in range(G)),
+            tuple(z for _ in range(G)),
+            tuple(z for _ in range(G)),
         )
+        _, ts, tris_, us, vs = jax.lax.while_loop(cond, body, init)
 
-        out[0, 0] = t.reshape(PACKET)
-        out[0, 1] = pltpu.bitcast(tri, jnp.float32).reshape(PACKET)
-        out[0, 2] = u.reshape(PACKET)
-        out[0, 3] = v.reshape(PACKET)
+        for g in range(G):
+            out[g, 0] = ts[g].reshape(PACKET)
+            out[g, 1] = pltpu.bitcast(tris_[g], jnp.float32).reshape(PACKET)
+            out[g, 2] = us[g].reshape(PACKET)
+            out[g, 3] = vs[g].reshape(PACKET)
 
     return _kernel
 
 
 @functools.lru_cache(maxsize=64)
-def _traversal_fn(T: int, cap: int, flat: bool, interpret: bool):
-    """Build + cache the jitted kernel wrapper for a (packets, capacity) shape."""
+def _traversal_fn(T: int, cap: int, flat: bool, interpret: bool, G: int = 1):
+    """Build + cache the jitted kernel wrapper for a (packets, capacity) shape.
 
+    ``G`` = packets interleaved per grid step (ILP over independent DFS
+    chains); must divide T."""
+
+    assert T % G == 0
     tab_shape = (cap, _SLOTS) if flat else (cap // _PACK, 128)
     call = pl.pallas_call(
-        _make_kernel(flat),
-        grid=(T,),
+        _make_kernel(flat, G),
+        grid=(T // G,),
         in_specs=[
             pl.BlockSpec(tab_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(tab_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 8, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 4, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (G, 4, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((T, 4, PACKET), jnp.float32),
-        scratch_shapes=[pltpu.SMEM((C.TRAVERSAL_STACK_DEPTH,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((G, C.TRAVERSAL_STACK_DEPTH), jnp.int32)],
         interpret=interpret,
     )
 
@@ -354,10 +403,15 @@ def _traversal_fn(T: int, cap: int, flat: bool, interpret: bool):
     return run
 
 
-_TABLE_CACHE = weakref.WeakKeyDictionary()
+# id(bvh) -> (weakref(bvh), weakref(scene), flat, tables).  Bvh can't key a
+# WeakKeyDictionary (its dataclass __hash__ hashes jax.Array fields, which
+# raise), so key by id with a weakref finalizer evicting the entry when the
+# Bvh dies; the stored weakrefs are validated on lookup so a recycled id can
+# never alias stale geometry.
+_TABLE_CACHE: dict = {}
 
 
-def prepare_tables(scene: Scene, bvh: Bvh):
+def prepare_tables(scene: Scene, bvh: Bvh, flat: bool | None = None):
     """Packed kernel tables for (scene, bvh), cached per Bvh instance.
 
     Packing costs several HBM passes (~4 ms at 65K tris); a static scene
@@ -366,20 +420,26 @@ def prepare_tables(scene: Scene, bvh: Bvh):
     Inside a jit trace (tracer inputs) the cache is bypassed and packing
     fuses into the caller's program.
     """
-    flat = bvh.capacity <= FLAT_MAX_CAPACITY
+    if flat is None:
+        flat = bvh.capacity <= FLAT_MAX_CAPACITY
     if isinstance(jnp.asarray(bvh.left), jax.core.Tracer):
         return pack_tables(scene, bvh, flat=flat)
-    try:
-        ent = _TABLE_CACHE.get(bvh)
-    except TypeError:
-        ent = None
-    if ent is not None and ent[0] == (id(scene), flat):
-        return ent[1]
+    key = id(bvh)
+    ent = _TABLE_CACHE.get(key)
+    if (
+        ent is not None
+        and ent[0]() is bvh
+        and ent[1]() is scene
+        and ent[2] == flat
+    ):
+        return ent[3]
     tables = pack_tables(scene, bvh, flat=flat)
     try:
-        _TABLE_CACHE[bvh] = ((id(scene), flat), tables)
+        bvh_ref = weakref.ref(bvh, lambda _ref, _k=key: _TABLE_CACHE.pop(_k, None))
+        scene_ref = weakref.ref(scene)
     except TypeError:
-        pass
+        return tables
+    _TABLE_CACHE[key] = (bvh_ref, scene_ref, flat, tables)
     return tables
 
 
@@ -390,6 +450,8 @@ def traverse_packets_pallas(
     dirs: jnp.ndarray,
     interpret: bool = False,
     tables=None,
+    flat: bool | None = None,
+    interleave: int | None = None,
 ) -> HitRecord:
     """Kernel-based nearest-hit traversal over (R, 3) rays.
 
@@ -397,13 +459,18 @@ def traverse_packets_pallas(
     (`trace_packet.tiled_ray_order`).  Hit-compatible with `trace.traverse`
     up to exact-t ties (traversal order is near-child-first here; the strict-<
     keep makes every non-tied result identical).  ``tables`` may carry the
-    `prepare_tables` result to skip per-call packing.
+    `prepare_tables` result to skip per-call packing.  ``flat`` overrides the
+    capacity-based table-layout choice (tests force the packed layout with
+    small scenes this way).
     """
     R = origins.shape[0]
     assert R % PACKET == 0, f"{R} rays not divisible by {PACKET}"
     T = R // PACKET
-    flat = bvh.capacity <= FLAT_MAX_CAPACITY
-    nodes, tris = tables if tables is not None else prepare_tables(scene, bvh)
-    run = _traversal_fn(T, bvh.capacity, flat, interpret)
+    if flat is None:
+        flat = bvh.capacity <= FLAT_MAX_CAPACITY
+    if interleave is None:
+        interleave = next(g for g in (DEFAULT_INTERLEAVE, 2, 1) if T % g == 0)
+    nodes, tris = tables if tables is not None else prepare_tables(scene, bvh, flat=flat)
+    run = _traversal_fn(T, bvh.capacity, flat, interpret, interleave)
     t, tri, u, v = run(nodes, tris, origins, dirs)
     return HitRecord(t=t, tri=tri, u=u, v=v)
