@@ -22,16 +22,18 @@ def test_topology_matches_reference_scalar(n):
     cap = 1024
     padded = np.full(cap, 0xFFFFFFFF, np.uint32)
     padded[:n] = keys
-    left, right, lleaf, rleaf, iparent, lparent = lbvh.build_topology(
+    left, right, lleaf, rleaf, iparent, lparent, first, last = lbvh.build_topology(
         jnp.asarray(padded), n
     )
-    rl, rr, rll, rrl, rip, rlp = reference_impl.karras_topology(keys, n)
+    rl, rr, rll, rrl, rip, rlp, rf, rla = reference_impl.karras_topology(keys, n)
     np.testing.assert_array_equal(np.asarray(left)[: n - 1], rl)
     np.testing.assert_array_equal(np.asarray(right)[: n - 1], rr)
     np.testing.assert_array_equal(np.asarray(lleaf)[: n - 1], rll)
     np.testing.assert_array_equal(np.asarray(rleaf)[: n - 1], rrl)
     np.testing.assert_array_equal(np.asarray(iparent)[: n - 1], rip)
     np.testing.assert_array_equal(np.asarray(lparent)[:n], rlp)
+    np.testing.assert_array_equal(np.asarray(first)[: n - 1], rf)
+    np.testing.assert_array_equal(np.asarray(last)[: n - 1], rla)
 
 
 def test_sequential_keys_topology():
@@ -41,7 +43,7 @@ def test_sequential_keys_topology():
     keys = np.arange(n, dtype=np.uint32)
     padded = np.full(256, 0xFFFFFFFF, np.uint32)
     padded[:n] = keys
-    left, right, lleaf, rleaf, iparent, lparent = lbvh.build_topology(
+    left, right, lleaf, rleaf, iparent, lparent, _, _ = lbvh.build_topology(
         jnp.asarray(padded), n
     )
     rl, rr, *_ = reference_impl.karras_topology(keys, n)
@@ -53,10 +55,18 @@ def test_sequential_keys_topology():
 def test_full_build_invariants(n_tris):
     mesh = random_triangle_soup(n_tris, seed=n_tris)
     scene = build_scene(mesh)
-    bvh = build_bvh(scene)
+    bvh = build_bvh(scene, with_depths=True)
     validate.check_topology(bvh)
     validate.check_depths(bvh)
     validate.check_refit(bvh, scene.aabb_min, scene.aabb_max)
+
+
+def test_attach_depths_matches_built_in():
+    mesh = random_triangle_soup(77, seed=3)
+    scene = build_scene(mesh)
+    lazy = lbvh.attach_depths(build_bvh(scene))
+    eager = build_bvh(scene, with_depths=True)
+    np.testing.assert_array_equal(np.asarray(lazy.depth), np.asarray(eager.depth))
 
 
 def test_clustered_scene_build():

@@ -74,6 +74,8 @@ class Bvh:
     right_is_leaf: jnp.ndarray  # (cap,) bool
     internal_parent: jnp.ndarray  # (cap,) i32 — parent of internal node; -1 at root
     leaf_parent: jnp.ndarray      # (cap,) i32 — parent of each leaf
+    range_first: jnp.ndarray      # (cap,) i32 — first sorted-leaf index covered
+    range_last: jnp.ndarray       # (cap,) i32 — last sorted-leaf index covered
     node_aabb_min: jnp.ndarray    # (cap, 3) f32 — internal-node AABBs (refit output)
     node_aabb_max: jnp.ndarray    # (cap, 3) f32
     sorted_tri: jnp.ndarray       # (cap,) i32 — Morton-sorted triangle indices

@@ -24,10 +24,10 @@ _TRI_FIELDS = (
 _SCENE_FIELDS = ("aabb_min", "aabb_max", "morton", "tri_index")
 _BVH_FIELDS = (
     "left", "right", "left_is_leaf", "right_is_leaf",
-    "internal_parent", "leaf_parent",
+    "internal_parent", "leaf_parent", "range_first", "range_last",
     "node_aabb_min", "node_aabb_max", "sorted_tri", "depth",
 )
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2  # v2: + range_first/range_last (refit query spans)
 
 
 def save_checkpoint(path: str, scene: Scene, bvh: Bvh) -> None:

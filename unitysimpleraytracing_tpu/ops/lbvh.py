@@ -1,22 +1,53 @@
 """Karras LBVH construction: topology + deterministic atomics-free AABB refit.
 
-Topology is the Karras 2012 binary-radix-tree build, one (vmapped) program per
-internal node, matching ``Assets/_Shaders/BVH/BVH.compute``:
-``delta`` (:23-33), ``DetermineRange`` (:35-52), ``FindSplit`` (:54-92) and the
-child/parent linking (:111-148).  Because children are always ``split`` and
-``split+1``, the child arrays need no scatter; only parent links do.
+Topology produces EXACTLY the Karras 2012 binary radix tree of
+``Assets/_Shaders/BVH/BVH.compute`` (``delta`` :23-33, ``DetermineRange``
+:35-52, ``FindSplit`` :54-92, child/parent linking :111-148), but not by
+transcribing its per-node binary searches: on TPU every search probe is an
+XLA gather (~0.5 ms per 64K-element round trip — measured), and the
+reference's exponential + binary + split searches cost ~95 sequential gather
+rounds.  Instead the searches are REFORMULATED over the adjacent-delta array
+``adj[k] = delta(k, k+1)``, using two facts that hold for the sorted distinct
+keys ``distribute_keys`` guarantees:
+
+1. ``delta(x, y) = min(adj[x..y-1])`` (common prefix over a sorted range is
+   the min of adjacent common prefixes), and adjacent deltas are never equal
+   (two consecutive equal deltas would need the middle key to carry both a 0
+   and a 1 at the same bit), so ``d = sign(delta(i,i+1) - delta(i,i-1))`` is
+   always ±1 and:
+   - d=+1: ``last  = min{k >= i  : adj[k] <= adj[i-1]}`` (sentinel n-1),
+   - d=-1: ``first = max{k <  i  : adj[k] <= adj[i]} + 1`` (sentinel -1+1=0)
+   — next/prev-smaller-or-equal queries.  ``adj`` values live in [-1, 31]
+   (clz of a 31-bit nonzero xor; -1 = out-of-range sentinel,
+   BVH.compute:29-32), so ALL 33 thresholds are answered at once by one
+   reverse cummin / forward cummax over a (33, cap) masked-iota table —
+   cumulative scans, zero gathers — and a per-node one-hot select.
+2. ``FindSplit``'s result is the LEFTMOST ARGMIN of ``adj`` over
+   [first, last-1]: its binary search keeps the highest split with
+   ``delta(first, split) > delta(first, last)``, i.e. every adj strictly
+   before the split exceeds the range minimum — the split lands on the
+   first position attaining it.  One sparse-table range-min query over
+   keys ``(adj+1) << 25 | index`` (min = smallest adj, then smallest
+   index) answers every node with 2 gathers — the only gathers left.
+
+Because children are always ``split`` and ``split+1``, the child arrays need
+no scatter; only parent links do (4 masked scatters).
 
 The reference's bottom-up refit uses a per-node ``InterlockedCompareExchange``
 gate — one thread per leaf races up the parent chain and the second arrival
 merges (BVH.compute:172-220).  TPUs have no device-wide atomics, and XLA
-programs are deterministic; the refit is redesigned as a *level-ordered sweep*:
-compute each internal node's depth (root=0), then iterate levels deepest→0,
-each pass merging child AABBs for exactly the nodes at that level with masked
-vectorized updates.  Contract identical to the reference: every internal AABB
-is the merge of its children; leaf AABBs resolve through the sorted-triangle
-indirection (BVH.compute:203,212).  Tree depth for k-bit distinct keys is ≤ k
-(the common-prefix length strictly increases per level), so after
-``distribute_keys`` (≤31-bit keys) the sweep needs ≤ 32 passes.
+programs are deterministic; the refit is redesigned around a structural fact
+of the Karras tree: internal node i covers the CONTIGUOUS sorted-leaf range
+``[first_i, last_i]`` (DetermineRange, BVH.compute:35-52), so its AABB is
+exactly the elementwise min/max of the leaf AABBs over that range — identical,
+bit for bit, to the recursive merge of children (min/max are associative,
+commutative and exact in f32).  The refit therefore builds a sparse table
+(power-of-2 windowed min/max, ``log2(cap)`` unrolled shift-and-min passes —
+no gathers, no ``while_loop``) and answers every node with two overlapping
+window lookups — O(log n) cheap vector passes replacing the level-ordered
+sweep's ≤32 full-capacity gather passes, with the same contract: every
+internal AABB is the merge of its children; leaf AABBs resolve through the
+sorted-triangle indirection (BVH.compute:203,212).
 """
 from __future__ import annotations
 
@@ -31,85 +62,82 @@ def _clz_xor(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.clz(a ^ b).astype(jnp.int32)
 
 
-def _make_delta(codes: jnp.ndarray, n: int):
-    """delta(x, y) = clz(code[x] ^ code[y]), or -1 out of range
-    (BVH.compute:23-33). Assumes distinct codes (guaranteed by
-    distribute_keys)."""
-
-    def delta(x, y):
-        valid = (x >= 0) & (x <= n - 1) & (y >= 0) & (y <= n - 1)
-        xc = codes[jnp.clip(x, 0, n - 1)]
-        yc = codes[jnp.clip(y, 0, n - 1)]
-        return jnp.where(valid, _clz_xor(xc, yc), -1)
-
-    return delta
-
-
-def _determine_range(delta, i):
-    """Exponential probe + binary search for node i's key range
-    (BVH.compute:35-52)."""
-    d = jnp.sign(delta(i, i + 1) - delta(i, i - 1))
-    dmin = delta(i, i - d)
-
-    lmax = jax.lax.while_loop(
-        lambda l: delta(i, i + l * d) > dmin, lambda l: l * 2, jnp.int32(2)
-    )
-
-    def bin_body(carry):
-        l, t = carry
-        take = delta(i, i + (l + t) * d) > dmin
-        return jnp.where(take, l + t, l), t // 2
-
-    l, _ = jax.lax.while_loop(
-        lambda c: c[1] >= 1, bin_body, (jnp.int32(0), lmax // 2)
-    )
-    j = i + l * d
-    return jnp.minimum(i, j), jnp.maximum(i, j)
-
-
-def _find_split(codes, n, first, last):
-    """Highest index sharing more prefix bits with ``first`` than the range's
-    common prefix (BVH.compute:54-92). The equal-codes fallback (:63-64) is
-    kept for safety though unreachable after distribute_keys."""
-    first_code = codes[first]
-    last_code = codes[jnp.clip(last, 0, n - 1)]
-    common = _clz_xor(first_code, last_code)
-
-    def body(carry):
-        split, step = carry
-        step = (step + 1) >> 1
-        new_split = split + step
-        in_range = new_split < last
-        split_code = codes[jnp.clip(new_split, 0, n - 1)]
-        take = in_range & (_clz_xor(first_code, split_code) > common)
-        return jnp.where(take, new_split, split), step
-
-    # do { ... } while (step > 1): run once, then loop on the post-condition.
-    split, step = body((first, last - first))
-    split, _ = jax.lax.while_loop(lambda c: c[1] > 1, body, (split, step))
-    return jnp.where(first_code == last_code, (first + last) >> 1, split)
+_ADJ_VALS = tuple(range(-1, 32))  # every value delta(k, k+1) can take
 
 
 @jax.jit
 def build_topology(codes: jnp.ndarray, count):
-    """All internal-node ranges/splits at once (vmapped Karras).
+    """All internal-node ranges/splits at once (scan/RMQ Karras — see module
+    docstring for the gather-free derivation; output is bit-identical to the
+    reference searches, tested against the scalar transcription).
 
     Returns (left, right, left_is_leaf, right_is_leaf, internal_parent,
-    leaf_parent), each shaped (capacity,), int32/bool; invalid rows (i >=
-    count-1) carry sentinel -1 links.
+    leaf_parent, range_first, range_last), each shaped (capacity,),
+    int32/bool; invalid rows (i >= count-1) carry sentinel -1 links.
+    ``range_first/last`` is node i's covered sorted-leaf interval
+    (DetermineRange's [first, last], BVH.compute:35-52) — the refit consumes
+    it as a range-min/max query span.
     """
     cap = codes.shape[0]
     n = jnp.asarray(count, jnp.int32)
-    delta = _make_delta(codes, n)
-
-    def one_node(i):
-        first, last = _determine_range(delta, i)
-        split = _find_split(codes, n, first, last)
-        return first, last, split
-
     ids = jnp.arange(cap, dtype=jnp.int32)
-    safe_ids = jnp.clip(ids, 0, jnp.maximum(n - 2, 0))
-    first, last, split = jax.vmap(one_node)(safe_ids)
+
+    # adj[k] = delta(k, k+1), with the reference's out-of-range sentinel -1
+    # (BVH.compute:29-32) at every k >= n-1 — which also fences the range
+    # walks at the array ends exactly like the reference's validity test.
+    nxt_codes = jnp.concatenate([codes[1:], codes[-1:]])
+    adj = jnp.where(ids <= n - 2, _clz_xor(codes, nxt_codes), -1)
+    adj_prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), adj[:-1]])
+
+    # d = sign(delta(i,i+1) - delta(i,i-1)); never 0 for distinct keys.
+    d_pos = adj > adj_prev
+    dmin = jnp.where(d_pos, adj_prev, adj)
+
+    # next/prev-smaller-or-equal for all 33 thresholds at once:
+    #   nxt[v, i] = min{k >= i : adj[k] <= v}   (sentinel cap -> clamped later)
+    #   prv[v, i] = max{k <  i : adj[k] <= v}   (sentinel -1)
+    vals = jnp.asarray(_ADJ_VALS, jnp.int32)[:, None]          # (33, 1)
+    leq = adj[None, :] <= vals                                  # (33, cap)
+    iota = jnp.broadcast_to(ids[None, :], leq.shape)
+    nxt = jax.lax.cummin(
+        jnp.where(leq, iota, jnp.int32(2**31 - 1)), axis=1, reverse=True
+    )
+    prv_inc = jax.lax.cummax(jnp.where(leq, iota, jnp.int32(-1)), axis=1)
+    prv = jnp.concatenate(
+        [jnp.full((len(_ADJ_VALS), 1), -1, jnp.int32), prv_inc[:, :-1]], axis=1
+    )
+
+    # One-hot select each node's threshold row (dmin ∈ [-1, 31]).
+    sel = dmin[None, :] == vals                                 # (33, cap)
+    last_sel = jnp.sum(jnp.where(sel, nxt, 0), axis=0)
+    first_sel = jnp.sum(jnp.where(sel, prv, 0), axis=0) + 1
+    first = jnp.where(d_pos, ids, first_sel)
+    last = jnp.where(d_pos, last_sel, ids)
+
+    # Split = leftmost argmin of adj over [first, last-1]: sparse-table RMQ
+    # on keys (adj+1) << 25 | k  (min -> smallest adj, then leftmost k).
+    packed = ((adj + 1) << 25) | ids
+    levels = max(int(cap).bit_length(), 1)
+    tabs = [packed]
+    w = 1
+    for _ in range(levels - 1):
+        p = tabs[-1]
+        tabs.append(
+            jnp.minimum(
+                p,
+                jnp.concatenate([p[w:], jnp.full((w,), 2**31 - 1, jnp.int32)]),
+            )
+        )
+        w *= 2
+    table = jnp.concatenate(tabs)                               # (levels*cap,)
+
+    lo = jnp.clip(first, 0, cap - 1)
+    hi = jnp.clip(last - 1, 0, cap - 1)                        # argmin over [lo, hi]
+    length = jnp.maximum(hi - lo + 1, 1)
+    k = 31 - jax.lax.clz(length)
+    second = hi + 1 - (jnp.int32(1) << k)
+    rmq = jnp.minimum(table[k * cap + lo], table[k * cap + second])
+    split = rmq & ((1 << 25) - 1)
 
     valid = ids < n - 1
     left = jnp.where(valid, split, -1)
@@ -130,84 +158,103 @@ def build_topology(codes: jnp.ndarray, count):
     leaf_parent = leaf_parent.at[ll].set(ids, mode="drop")
     leaf_parent = leaf_parent.at[rl].set(ids, mode="drop")
 
-    return left, right, left_is_leaf, right_is_leaf, internal_parent, leaf_parent
+    range_first = jnp.where(valid, first, -1)
+    range_last = jnp.where(valid, last, -1)
+    return (
+        left, right, left_is_leaf, right_is_leaf,
+        internal_parent, leaf_parent, range_first, range_last,
+    )
 
 
 @jax.jit
 def compute_depths(internal_parent: jnp.ndarray, count) -> jnp.ndarray:
-    """Depth of every internal node from the root (node 0) by parent chasing.
+    """Depth of every internal node from the root (node 0) by POINTER DOUBLING.
 
-    O(depth) masked gather passes; depth ≤ 32 post-distribute_keys. This
-    replaces the role of the reference's atomic visit-counters in ordering the
-    bottom-up merge.
+    Invariant: when ``jump[i] == -1``, ``dist[i] == depth(i)``; when
+    ``jump[i] == j >= 0``, ``dist[i] == depth(i) - depth(j)``.  Each pass
+    composes every chain with itself (``jump' = jump[jump]``), so the chase
+    converges in ceil(log2(max_depth)) + 1 ≈ 6 passes of two gathers — versus
+    the naive parent-chase's ≤33 single-gather passes (tree depth for 32-bit
+    distinct keys post-distribute_keys is ≤ 33).  This depth array is
+    diagnostic/validation data only; the refit no longer consumes it.
     """
     cap = internal_parent.shape[0]
     ids = jnp.arange(cap, dtype=jnp.int32)
     valid = ids < count - 1
-    ptr = jnp.where(valid, internal_parent, -1)
-    depth = jnp.zeros(cap, jnp.int32)
+    jump = jnp.where(valid, internal_parent, -1)
+    dist = (jump >= 0).astype(jnp.int32)
 
     def cond(carry):
-        ptr, _ = carry
-        return jnp.any(ptr >= 0)
+        jump, _ = carry
+        return jnp.any(jump >= 0)
 
     def body(carry):
-        ptr, depth = carry
-        alive = ptr >= 0
-        depth = depth + alive.astype(jnp.int32)
-        nxt = internal_parent[jnp.clip(ptr, 0, cap - 1)]
-        return jnp.where(alive, nxt, -1), depth
+        jump, dist = carry
+        alive = jump >= 0
+        j = jnp.clip(jump, 0, cap - 1)
+        dist = jnp.where(alive, dist + dist[j], dist)
+        jump = jnp.where(alive, jump[j], -1)
+        return jump, dist
 
-    _, depth = jax.lax.while_loop(cond, body, (ptr, depth))
-    return jnp.where(valid, depth, -1)
+    _, dist = jax.lax.while_loop(cond, body, (jump, dist))
+    return jnp.where(valid, dist, -1)
 
 
 @jax.jit
 def refit(
-    left,
-    right,
-    left_is_leaf,
-    right_is_leaf,
-    depth,
+    range_first,
+    range_last,
     sorted_tri,
     tri_aabb_min,
     tri_aabb_max,
     count,
 ):
-    """Level-ordered AABB refit (deterministic replacement for
+    """Range-query AABB refit (deterministic replacement for
     BVH.compute:172-220).
 
-    For each level from deepest to root: every node at that level merges its
-    children's boxes — internal child boxes from this sweep's earlier passes,
-    leaf child boxes via ``tri_aabb[sorted_tri[leaf]]`` exactly like
-    BVH.compute:203,212.
+    Node i's AABB == elementwise min/max of the sorted-leaf AABBs over its
+    contiguous covered range [first_i, last_i] — bit-identical to the
+    recursive merge of children (min/max are exact, associative, idempotent),
+    with leaf boxes resolved via ``tri_aabb[sorted_tri[leaf]]`` exactly like
+    BVH.compute:203,212.  A sparse table of power-of-2 windowed min/max is
+    built in log2(cap) UNROLLED shift+min passes (pure vector code — no
+    gathers, no while_loop), then every node reads two overlapping windows:
+    ``[first, first+2^k) ∪ [last-2^k+1, last+1)`` with k = floor(log2(len)).
     """
-    cap = left.shape[0]
+    cap = range_first.shape[0]
     ids = jnp.arange(cap, dtype=jnp.int32)
     valid = ids < count - 1
-    node_min = jnp.zeros((cap, 3), jnp.float32)
-    node_max = jnp.zeros((cap, 3), jnp.float32)
 
-    lc = jnp.clip(left, 0, cap - 1)
-    rc = jnp.clip(right, 0, cap - 1)
-    l_tri = sorted_tri[lc]
-    r_tri = sorted_tri[rc]
-    max_depth = jnp.max(jnp.where(valid, depth, -1))
+    # Sorted-leaf AABB sequence (the only gather besides the final lookups).
+    s_min = tri_aabb_min[sorted_tri]
+    s_max = tri_aabb_max[sorted_tri]
 
-    def body(carry):
-        level, node_min, node_max = carry
-        lmin = jnp.where(left_is_leaf[:, None], tri_aabb_min[l_tri], node_min[lc])
-        lmax = jnp.where(left_is_leaf[:, None], tri_aabb_max[l_tri], node_max[lc])
-        rmin = jnp.where(right_is_leaf[:, None], tri_aabb_min[r_tri], node_min[rc])
-        rmax = jnp.where(right_is_leaf[:, None], tri_aabb_max[r_tri], node_max[rc])
-        m = (valid & (depth == level))[:, None]
-        node_min = jnp.where(m, jnp.minimum(lmin, rmin), node_min)
-        node_max = jnp.where(m, jnp.maximum(lmax, rmax), node_max)
-        return level - 1, node_min, node_max
+    levels = max(int(cap).bit_length(), 1)  # window sizes 2^0 .. 2^(levels-1)
+    mins, maxs = [s_min], [s_max]
+    w = 1
+    for _ in range(levels - 1):
+        pm, px = mins[-1], maxs[-1]
+        # Rows past cap-w read +/-inf pads; valid queries never touch them
+        # (their window always fits inside [0, count)).
+        mins.append(
+            jnp.minimum(pm, jnp.concatenate([pm[w:], jnp.full((w, 3), jnp.inf)]))
+        )
+        maxs.append(
+            jnp.maximum(px, jnp.concatenate([px[w:], jnp.full((w, 3), -jnp.inf)]))
+        )
+        w *= 2
+    table_min = jnp.stack(mins)  # (levels, cap, 3)
+    table_max = jnp.stack(maxs)
 
-    _, node_min, node_max = jax.lax.while_loop(
-        lambda c: c[0] >= 0, body, (max_depth, node_min, node_max)
-    )
+    first = jnp.clip(range_first, 0, cap - 1)
+    last = jnp.clip(range_last, 0, cap - 1)
+    length = jnp.maximum(last - first + 1, 1)
+    k = 31 - jax.lax.clz(length)  # floor(log2(length))
+    second = last + 1 - (jnp.int32(1) << k)
+    node_min = jnp.minimum(table_min[k, first], table_min[k, second])
+    node_max = jnp.maximum(table_max[k, first], table_max[k, second])
+    node_min = jnp.where(valid[:, None], node_min, 0.0)
+    node_max = jnp.where(valid[:, None], node_max, 0.0)
     return node_min, node_max
 
 
@@ -218,13 +265,19 @@ def build_bvh_from_sorted(
     tri_aabb_max: jnp.ndarray,
     count,
     static_count: int | None = None,
+    with_depths: bool = False,
 ) -> Bvh:
     """Full LBVH from uniquified sorted codes (the reference's
     ConstructTree + ConstructBVH sequence, BVHConstructor.cs:61-69).
 
     ``count`` may be traced (ragged shards); pytree containers need static
     metadata, so ``static_count`` (a plain int, e.g. the capacity) must be
-    supplied in that case and is what lands in ``Bvh.count``."""
+    supplied in that case and is what lands in ``Bvh.count``.
+
+    ``with_depths=False`` (default) skips the diagnostic per-node depth
+    array (~14 gather passes nothing in the render path reads; -1 filled);
+    pass True — or use :func:`attach_depths` later — where validation wants
+    it."""
     if static_count is None:
         if not isinstance(count, int):
             raise TypeError("traced count requires an explicit static_count")
@@ -236,14 +289,16 @@ def build_bvh_from_sorted(
         right_is_leaf,
         internal_parent,
         leaf_parent,
+        range_first,
+        range_last,
     ) = build_topology(codes, count)
-    depth = compute_depths(internal_parent, count)
+    if with_depths:
+        depth = compute_depths(internal_parent, count)
+    else:
+        depth = jnp.full(codes.shape[0], -1, jnp.int32)
     node_min, node_max = refit(
-        left,
-        right,
-        left_is_leaf,
-        right_is_leaf,
-        depth,
+        range_first,
+        range_last,
         sorted_tri,
         tri_aabb_min,
         tri_aabb_max,
@@ -256,9 +311,16 @@ def build_bvh_from_sorted(
         right_is_leaf=right_is_leaf,
         internal_parent=internal_parent,
         leaf_parent=leaf_parent,
+        range_first=range_first,
+        range_last=range_last,
         node_aabb_min=node_min,
         node_aabb_max=node_max,
         sorted_tri=sorted_tri,
         depth=depth,
         count=static_count,
     )
+
+
+def attach_depths(bvh: Bvh) -> Bvh:
+    """Fill the diagnostic ``depth`` array of a Bvh built without it."""
+    return bvh.replace(depth=compute_depths(bvh.internal_parent, bvh.count))

@@ -20,9 +20,12 @@ from unitysimpleraytracing_tpu.core.types import Bvh, Scene
 from unitysimpleraytracing_tpu.ops import lbvh, sort, unique
 
 
-@functools.partial(jax.jit, static_argnames=("sort_impl",))
-def build_bvh(scene: Scene, sort_impl: str = "xla") -> Bvh:
-    """Construct the LBVH for a scene. Requires scene.count >= 2."""
+@functools.partial(jax.jit, static_argnames=("sort_impl", "with_depths"))
+def build_bvh(scene: Scene, sort_impl: str = "xla", with_depths: bool = False) -> Bvh:
+    """Construct the LBVH for a scene. Requires scene.count >= 2.
+
+    ``with_depths`` adds the diagnostic per-node depth array (validation
+    only; nothing in the render path reads it)."""
     if isinstance(scene.count, int) and scene.count < 2:
         raise ValueError("LBVH needs at least 2 triangles (reference assumes the same)")
     keys, sorted_tri = sort.sort_key_val(
@@ -30,7 +33,8 @@ def build_bvh(scene: Scene, sort_impl: str = "xla") -> Bvh:
     )
     keys = unique.distribute_keys(keys, scene.count)
     return lbvh.build_bvh_from_sorted(
-        keys, sorted_tri, scene.aabb_min, scene.aabb_max, scene.count
+        keys, sorted_tri, scene.aabb_min, scene.aabb_max, scene.count,
+        with_depths=with_depths,
     )
 
 
@@ -57,15 +61,13 @@ def refit_bvh(scene: Scene, bvh: Bvh) -> Bvh:
     tree topology (the fast path for deforming meshes — the reference has no
     equivalent: it rebuilds everything each Awake).
 
-    O(depth) masked passes; exact: output equals a fresh refit of the same
+    O(log n) unrolled vector passes (sparse-table range min/max over the
+    node leaf ranges); exact: output equals a fresh refit of the same
     topology over the new leaf boxes.
     """
     node_min, node_max = lbvh.refit(
-        bvh.left,
-        bvh.right,
-        bvh.left_is_leaf,
-        bvh.right_is_leaf,
-        bvh.depth,
+        bvh.range_first,
+        bvh.range_last,
         bvh.sorted_tri,
         scene.aabb_min,
         scene.aabb_max,

@@ -42,8 +42,13 @@ class ChunkedBvh:
         return self.sscene.shard_capacity
 
 
+@functools.partial(jax.jit, static_argnames=("chunk_capacity",))
 def build_bvh_chunked(scene: Scene, chunk_capacity: int = 65536) -> ChunkedBvh:
-    """Partition + build one LBVH per chunk (vmapped over chunks)."""
+    """Partition + build one LBVH per chunk (vmapped over chunks).
+
+    Fully jittable: the count-balanced partition runs on device
+    (dist._partition_scene_device), so the 1M-triangle flow never leaves
+    the chip."""
     n = scene.count
     num_chunks = max(-(-n // chunk_capacity), 1)
     sscene = dist.partition_scene(scene, num_chunks)
@@ -75,6 +80,7 @@ def _chunk_bvh(bvhs: Bvh, s: int, cap: int) -> Bvh:
         left=bvhs.left[s], right=bvhs.right[s],
         left_is_leaf=bvhs.left_is_leaf[s], right_is_leaf=bvhs.right_is_leaf[s],
         internal_parent=bvhs.internal_parent[s], leaf_parent=bvhs.leaf_parent[s],
+        range_first=bvhs.range_first[s], range_last=bvhs.range_last[s],
         node_aabb_min=bvhs.node_aabb_min[s], node_aabb_max=bvhs.node_aabb_max[s],
         sorted_tri=bvhs.sorted_tri[s], depth=bvhs.depth[s],
         count=cap,

@@ -24,7 +24,8 @@ def clz32(v: int) -> int:
 
 
 def karras_topology(codes: np.ndarray, n: int):
-    """BVH.compute:94-149 transcribed; returns per-internal-node links."""
+    """BVH.compute:94-149 transcribed; returns per-internal-node links
+    (+ each node's covered leaf range [first, last] from DetermineRange)."""
     codes = np.asarray(codes, np.uint32)
 
     def delta(x, y):
@@ -38,6 +39,8 @@ def karras_topology(codes: np.ndarray, n: int):
     rleaf = np.zeros(n - 1, bool)
     iparent = np.full(n - 1, -1, np.int64)
     lparent = np.full(n, -1, np.int64)
+    firsts = np.full(n - 1, -1, np.int64)
+    lasts = np.full(n - 1, -1, np.int64)
 
     for i in range(n - 1):
         d = int(np.sign(delta(i, i + 1) - delta(i, i - 1)))
@@ -53,6 +56,7 @@ def karras_topology(codes: np.ndarray, n: int):
             t //= 2
         j = i + l * d
         first, last = min(i, j), max(i, j)
+        firsts[i], lasts[i] = first, last
 
         first_code = int(codes[first])
         last_code = int(codes[last])
@@ -82,7 +86,7 @@ def karras_topology(codes: np.ndarray, n: int):
             lparent[split + 1] = i
         else:
             iparent[split + 1] = i
-    return left, right, lleaf, rleaf, iparent, lparent
+    return left, right, lleaf, rleaf, iparent, lparent, firsts, lasts
 
 
 def ray_box(bmin, bmax, origin, inv_dir) -> bool:

@@ -118,7 +118,16 @@ def check_refit(bvh: Bvh, tri_aabb_min, tri_aabb_max) -> None:
     right = np.asarray(bvh.right)[: n - 1]
     lleaf = np.asarray(bvh.left_is_leaf)[: n - 1]
     rleaf = np.asarray(bvh.right_is_leaf)[: n - 1]
-    depth = np.asarray(bvh.depth)[: n - 1]
+    # Level order derived from parent links on the host (independent of the
+    # optional bvh.depth diagnostic array; parents may have HIGHER ids than
+    # children in a Karras tree, so chase each chain).
+    iparent = np.asarray(bvh.internal_parent)[: n - 1]
+    depth = np.zeros(n - 1, np.int64)
+    for i in range(n - 1):
+        p, d = iparent[i], 0
+        while p >= 0:
+            p, d = iparent[p], d + 1
+        depth[i] = d
     sorted_tri = np.asarray(bvh.sorted_tri)
     node_min = np.asarray(bvh.node_aabb_min)[: n - 1]
     node_max = np.asarray(bvh.node_aabb_max)[: n - 1]
