@@ -1,4 +1,4 @@
-"""Headline benchmark: traversal Mrays/s per chip (+ build ms, sort Gkeys/s).
+"""Headline benchmark: traversal Mrays/s per chip + every BASELINE config.
 
 Prints ONE JSON line:
     {"metric": "traversal_mrays_per_s_per_chip", "value": N, "unit": "Mrays/s",
@@ -8,83 +8,37 @@ The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` compares
 against this framework's own recorded round-1 measurement in
 ``benchmarks/baseline.json`` (ratio > 1 means faster than round 1).
 
-Scene is procedural (no external assets): BASELINE.json config-2 class —
-a ~65K-triangle heightfield surface, 512x512 primary rays from a camera
-viewing the whole scene (Stanford-bunny-class workload).
+Covered configs (BASELINE.md):
+- config 2 (headline): ~65K-tri terrain, 512x512 primary rays, flat tables.
+- config 3: ~260K-tri terrain, 1920x1056 + shadow rays, packed tables.
+- config 4: dynamic per-frame deform -> full re-sort + rebuild Hz, and the
+  refit-only fast path Hz.
+- scene-parity: the reference's own demo scene (ExampleObject3, 12,800 tris)
+  from its wired camera pose (Scene.unity:342-366).
+- build: LBVH ms at 65K AND ~1M tris; sort engines head-to-head (Gkeys/s).
+- roofline: measured ns per traversal step vs the kernel's vector-issue
+  floor (the while body executes ~55 (8,128)-lane VPU ops for the two child
+  slab tests + reductions; floor = 55 cycles / 0.94 GHz ≈ 59 ns/step).
 """
 from __future__ import annotations
 
 import json
 import os
-import time
-
 import sys
 
 import numpy as np
 
+WIDTH = HEIGHT = 512
+TERRAIN_RES = 182        # 2*(res-1)^2 = 65,522 triangles (config 2)
+SPONZA_RES = 362         # 260,642 triangles (config 3 class)
+BIG_RES = 708            # 999,698 triangles (config 5 build bound)
+SORT_N = 1 << 20
+# Vector-issue floor of one traversal step (see module docstring).
+STEP_FLOOR_NS = 55.0 / 0.94
+
 
 def _note(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
-
-
-TERRAIN_RES = 182  # 2*(res-1)^2 = 65,522 triangles
-WIDTH = HEIGHT = 512
-SORT_N = 1 << 20
-WARMUP = 2
-ITERS = 5
-
-
-_FETCH_LATENCY = None
-
-
-def _fetch(x):
-    """Force full materialization (block_until_ready can lie through remote
-    device tunnels; a value fetch cannot)."""
-    import jax
-
-    return float(jax.tree_util.tree_leaves(x)[0].ravel()[0])
-
-
-def _fetch_latency():
-    global _FETCH_LATENCY
-    if _FETCH_LATENCY is None:
-        import jax
-        import jax.numpy as jnp
-
-        f = jax.jit(lambda x: x * 2)
-        x = jnp.ones(8)
-        _fetch(f(x))
-        lats = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _fetch(f(x))
-            lats.append(time.perf_counter() - t0)
-        _FETCH_LATENCY = float(np.median(lats))
-    return _FETCH_LATENCY
-
-
-def _timed_reps(fn, reps):
-    """Wall time of ``reps`` back-to-back dispatches ending in one value fetch."""
-    t0 = time.perf_counter()
-    r = None
-    for _ in range(reps):
-        r = fn()
-    _fetch(r)
-    return time.perf_counter() - t0
-
-
-def _median_time(fn, iters=ITERS, warmup=WARMUP, reps=8):
-    """Slope-based per-run time: time(reps) − time(1) over (reps − 1) cancels
-    every fixed overhead — dispatch latency AND the (volatile, ~30 ms) remote
-    value-fetch latency of the device tunnel — without measuring either."""
-    for _ in range(warmup):
-        _fetch(fn())
-    slopes = []
-    for _ in range(iters):
-        t1 = _timed_reps(fn, 1)
-        tn = _timed_reps(fn, reps)
-        slopes.append((tn - t1) / (reps - 1))
-    return max(float(np.median(slopes)), 1e-9)
 
 
 def main() -> None:
@@ -96,34 +50,158 @@ def main() -> None:
     import jax.numpy as jnp
 
     import unitysimpleraytracing_tpu as rt
+    from unitysimpleraytracing_tpu.core.camera import generate_rays
     from unitysimpleraytracing_tpu.ops import sort as sort_ops
+    from unitysimpleraytracing_tpu.ops import trace_pallas
+    from unitysimpleraytracing_tpu.ops.dispatch import _tile_major
+    from unitysimpleraytracing_tpu.pipeline.build import deform_scene
+    from unitysimpleraytracing_tpu.utils.profiling import measure
 
+    extra = {"device": str(jax.devices()[0])}
+
+    # ---- config 2 headline: 65K terrain, 512x512 --------------------------
     mesh = rt.terrain_mesh(res=TERRAIN_RES, size=80.0, amplitude=9.0, seed=0)
-    n_tris = mesh.num_triangles
     scene = rt.build_scene(mesh)
+    n_tris = mesh.num_triangles
     cam = rt.make_camera(
         eye=(55.0, 45.0, 70.0), target=(0.0, 0.0, 0.0),
         width=WIDTH, height=HEIGHT, fov_deg=60.0,
     )
-
     _note("scene ready")
-    # LBVH build (sort + uniquify + topology + refit), ms.
-    build_s = _median_time(lambda: rt.build_bvh(scene))
-    _note(f"build bench done: {build_s*1e3:.2f} ms")
+
+    build_s = measure(lambda: rt.build_bvh(scene), iters=3)
+    _note(f"build 65K: {build_s*1e3:.2f} ms")
     bvh = rt.build_bvh(scene)
 
-    # Traversal Mrays/s (the headline).
-    trace_s = _median_time(lambda: rt.render_hits(scene, bvh, cam).t)
-    _note(f"trace bench done: {trace_s*1e3:.2f} ms")
+    trace_s = measure(lambda: rt.render_hits(scene, bvh, cam).t, iters=5)
     mrays = WIDTH * HEIGHT / trace_s / 1e6
+    _note(f"trace: {trace_s*1e3:.2f} ms = {mrays:.2f} Mrays/s")
+    hit_frac = float(rt.render_hits(scene, bvh, cam).hit.mean())
+    extra.update(
+        n_tris=n_tris, rays=WIDTH * HEIGHT, hit_frac=round(hit_frac, 4),
+        lbvh_build_ms=round(build_s * 1e3, 3),
+    )
 
-    # Radix-capable key/value sort, Gkeys/s.
+    # Roofline: measured ns/step vs the kernel's vector-issue floor.
+    try:
+        o, d = generate_rays(cam)
+        o = _tile_major(o, HEIGHT, WIDTH, 32)
+        d = _tile_major(d, HEIGHT, WIDTH, 32)
+        _, steps = trace_pallas.traversal_step_counts(scene, bvh, o, d)
+        steps_total = int(np.asarray(steps).sum())
+        ns_per_step = trace_s * 1e9 / steps_total
+        extra.update(
+            traversal_steps_mean=round(steps_total / (WIDTH * HEIGHT / 1024), 1),
+            traversal_ns_per_step=round(ns_per_step, 1),
+            roofline_issue_fraction=round(STEP_FLOOR_NS / ns_per_step, 3),
+        )
+        _note(f"steps {steps_total}, {ns_per_step:.0f} ns/step, "
+              f"issue fraction {STEP_FLOOR_NS/ns_per_step:.2f}")
+    except Exception as e:  # pragma: no cover - keep the bench alive
+        _note(f"roofline skipped: {e}")
+
+    # ---- config 4: dynamic deform -> rebuild / refit ----------------------
+    try:
+        t = scene.triangles
+        base = jnp.stack([t.a, t.b, t.c], axis=1)
+
+        @jax.jit
+        def dyn_rebuild(phase):
+            pos = base.at[..., 1].add(0.5 * jnp.sin(base[..., 0] * 0.37 + phase))
+            return rt.build_bvh(deform_scene(scene, pos)).node_aabb_min
+
+        @jax.jit
+        def dyn_refit(phase):
+            pos = base.at[..., 1].add(0.5 * jnp.sin(base[..., 0] * 0.37 + phase))
+            return rt.refit_bvh(deform_scene(scene, pos), bvh).node_aabb_min
+
+        extra["dynamic_rebuild_hz"] = round(1.0 / measure(lambda: dyn_rebuild(0.7), iters=2), 1)
+        extra["dynamic_refit_hz"] = round(1.0 / measure(lambda: dyn_refit(0.7), iters=2), 1)
+        _note(f"dynamic rebuild {extra['dynamic_rebuild_hz']} Hz, "
+              f"refit {extra['dynamic_refit_hz']} Hz")
+    except Exception as e:
+        _note(f"dynamic skipped: {e}")
+
+    # ---- build at ~1M tris (config 5 build bound) -------------------------
+    try:
+        big = rt.build_scene(
+            rt.terrain_mesh(res=BIG_RES, size=300.0, amplitude=30.0, seed=0)
+        )
+        s = measure(lambda: rt.build_bvh(big), iters=2, reps=4)
+        extra["lbvh_build_1m_ms"] = round(s * 1e3, 2)
+        extra["n_tris_1m"] = big.count
+        _note(f"build 1M: {s*1e3:.1f} ms")
+        del big
+    except Exception as e:
+        _note(f"1M build skipped: {e}")
+
+    # ---- sort engines head-to-head ----------------------------------------
     rng = np.random.default_rng(0)
-    keys = jnp.asarray(rng.integers(0, 1 << 32, size=SORT_N, dtype=np.uint64).astype(np.uint32))
+    keys = jnp.asarray(
+        rng.integers(0, 1 << 32, size=SORT_N, dtype=np.uint64).astype(np.uint32)
+    )
     vals = jnp.arange(SORT_N, dtype=jnp.int32)
-    sort_s = _median_time(lambda: sort_ops.sort_key_val(keys, vals)[0])
-    _note(f"sort bench done: {sort_s*1e3:.2f} ms")
-    gkeys = SORT_N / sort_s / 1e9
+    for eng, name in (("xla", "sort_gkeys_xla"), ("pallas", "sort_gkeys_pallas")):
+        try:
+            s = measure(
+                lambda e=eng: sort_ops.sort_key_val(keys, vals, impl=e)[0], iters=2
+            )
+            extra[name] = round(SORT_N / s / 1e9, 4)
+            _note(f"sort[{eng}]: {extra[name]} Gkeys/s")
+        except Exception as e:
+            _note(f"sort[{eng}] skipped: {e}")
+    gkeys = extra.get("sort_gkeys_xla", 0.0)
+    extra["sort_gkeys_per_s"] = gkeys
+
+    # ---- scene parity: the reference's shipped demo scene -----------------
+    try:
+        demo_obj = "/root/reference/Assets/_Assets/ExampleObject3.obj"
+        if os.path.exists(demo_obj):
+            dmesh = rt.load_obj(demo_obj, flip_x=True)
+            dscene = rt.build_scene(dmesh)
+            dbvh = rt.build_bvh(dscene)
+            dcam = rt.make_camera(
+                eye=(0.0, 0.0, 15.7), target=(0.0, 0.0, 0.0),
+                width=WIDTH, height=HEIGHT, fov_deg=60.0,
+            )
+            s = measure(
+                lambda: rt.render_hits(dscene, dbvh, dcam).t, iters=3
+            )
+            extra["demo_scene_mrays"] = round(WIDTH * HEIGHT / s / 1e6, 2)
+            _note(f"demo scene: {extra['demo_scene_mrays']} Mrays/s")
+    except Exception as e:
+        _note(f"demo scene skipped: {e}")
+
+    # ---- config 3: 260K tris, 1080p-class + shadows, packed tables --------
+    try:
+        smesh = rt.terrain_mesh(res=SPONZA_RES, size=160.0, amplitude=20.0, seed=1)
+        sscene = rt.build_scene(smesh)
+        sbvh = rt.build_bvh(sscene)
+        scam = rt.make_camera(
+            eye=(110.0, 90.0, 140.0), target=(0.0, 0.0, 0.0),
+            width=1920, height=1056, fov_deg=60.0,
+        )
+        tex = rt.solid_texture((0.8, 0.7, 0.6, 1.0))
+        bg = np.asarray([0.1, 0.1, 0.12], np.float32)
+
+        s = measure(
+            lambda: rt.render_frame(
+                sscene, sbvh, scam, tex, bg, shadows=True
+            ),
+            iters=2, reps=4,
+        )
+        # shadows => ~2 trace passes per pixel
+        extra["sponza_class"] = {
+            "n_tris": sscene.count,
+            "res": "1920x1056",
+            "shadows": True,
+            "layout": "packed",
+            "frame_ms": round(s * 1e3, 1),
+            "mrays_per_s": round(2 * 1920 * 1056 / s / 1e6, 2),
+        }
+        _note(f"260K+shadows 1080p: {extra['sponza_class']}")
+    except Exception as e:
+        _note(f"sponza-class skipped: {e}")
 
     baseline_path = os.path.join(os.path.dirname(__file__), "benchmarks", "baseline.json")
     vs = 1.0
@@ -133,7 +211,6 @@ def main() -> None:
         if ref:
             vs = mrays / ref
 
-    hit_frac = float(rt.render_hits(scene, bvh, cam).hit.mean())
     print(
         json.dumps(
             {
@@ -141,14 +218,7 @@ def main() -> None:
                 "value": round(mrays, 3),
                 "unit": "Mrays/s",
                 "vs_baseline": round(vs, 3),
-                "extra": {
-                    "device": str(jax.devices()[0]),
-                    "n_tris": n_tris,
-                    "rays": WIDTH * HEIGHT,
-                    "hit_frac": round(hit_frac, 4),
-                    "lbvh_build_ms": round(build_s * 1e3, 3),
-                    "sort_gkeys_per_s": round(gkeys, 4),
-                },
+                "extra": extra,
             }
         )
     )

@@ -22,7 +22,7 @@ def test_topology_matches_reference_scalar(n):
     cap = 1024
     padded = np.full(cap, 0xFFFFFFFF, np.uint32)
     padded[:n] = keys
-    left, right, lleaf, rleaf, iparent, lparent, first, last = lbvh.build_topology(
+    left, right, lleaf, rleaf, iparent, lparent, first, last, _ = lbvh.build_topology(
         jnp.asarray(padded), n
     )
     rl, rr, rll, rrl, rip, rlp, rf, rla = reference_impl.karras_topology(keys, n)
@@ -43,7 +43,7 @@ def test_sequential_keys_topology():
     keys = np.arange(n, dtype=np.uint32)
     padded = np.full(256, 0xFFFFFFFF, np.uint32)
     padded[:n] = keys
-    left, right, lleaf, rleaf, iparent, lparent, _, _ = lbvh.build_topology(
+    left, right, lleaf, rleaf, iparent, lparent, _, _, _ = lbvh.build_topology(
         jnp.asarray(padded), n
     )
     rl, rr, *_ = reference_impl.karras_topology(keys, n)
@@ -55,18 +55,24 @@ def test_sequential_keys_topology():
 def test_full_build_invariants(n_tris):
     mesh = random_triangle_soup(n_tris, seed=n_tris)
     scene = build_scene(mesh)
-    bvh = build_bvh(scene, with_depths=True)
+    bvh = build_bvh(scene, diagnostics=True)
     validate.check_topology(bvh)
     validate.check_depths(bvh)
     validate.check_refit(bvh, scene.aabb_min, scene.aabb_max)
 
 
-def test_attach_depths_matches_built_in():
+def test_attach_diagnostics_matches_built_in():
     mesh = random_triangle_soup(77, seed=3)
     scene = build_scene(mesh)
-    lazy = lbvh.attach_depths(build_bvh(scene))
-    eager = build_bvh(scene, with_depths=True)
+    lazy = lbvh.attach_diagnostics(build_bvh(scene))
+    eager = build_bvh(scene, diagnostics=True)
     np.testing.assert_array_equal(np.asarray(lazy.depth), np.asarray(eager.depth))
+    np.testing.assert_array_equal(
+        np.asarray(lazy.internal_parent), np.asarray(eager.internal_parent)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(lazy.leaf_parent), np.asarray(eager.leaf_parent)
+    )
 
 
 def test_clustered_scene_build():
@@ -77,7 +83,7 @@ def test_clustered_scene_build():
     keys, _ = sort_key_val(scene.morton, scene.tri_index)
     keys = distribute_keys(keys, scene.count)
     validate.check_unique_strictly_increasing(np.asarray(keys), scene.count)
-    bvh = build_bvh(scene)
+    bvh = build_bvh(scene, diagnostics=True)
     validate.check_topology(bvh)
     validate.check_refit(bvh, scene.aabb_min, scene.aabb_max)
 

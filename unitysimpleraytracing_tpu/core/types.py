@@ -76,6 +76,8 @@ class Bvh:
     leaf_parent: jnp.ndarray      # (cap,) i32 — parent of each leaf
     range_first: jnp.ndarray      # (cap,) i32 — first sorted-leaf index covered
     range_last: jnp.ndarray       # (cap,) i32 — last sorted-leaf index covered
+    split_axis: jnp.ndarray       # (cap,) i32 — Morton axis of the split bit
+                                  # (0=x,1=y,2=z); traversal ordering hint
     node_aabb_min: jnp.ndarray    # (cap, 3) f32 — internal-node AABBs (refit output)
     node_aabb_max: jnp.ndarray    # (cap, 3) f32
     sorted_tri: jnp.ndarray       # (cap,) i32 — Morton-sorted triangle indices

@@ -25,9 +25,9 @@ _SCENE_FIELDS = ("aabb_min", "aabb_max", "morton", "tri_index")
 _BVH_FIELDS = (
     "left", "right", "left_is_leaf", "right_is_leaf",
     "internal_parent", "leaf_parent", "range_first", "range_last",
-    "node_aabb_min", "node_aabb_max", "sorted_tri", "depth",
+    "split_axis", "node_aabb_min", "node_aabb_max", "sorted_tri", "depth",
 )
-_FORMAT_VERSION = 2  # v2: + range_first/range_last (refit query spans)
+_FORMAT_VERSION = 2  # v2: + range_first/range_last/split_axis
 
 
 def save_checkpoint(path: str, scene: Scene, bvh: Bvh) -> None:

@@ -51,6 +51,8 @@ sorted-triangle indirection (BVH.compute:203,212).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -65,15 +67,16 @@ def _clz_xor(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 _ADJ_VALS = tuple(range(-1, 32))  # every value delta(k, k+1) can take
 
 
-@jax.jit
-def build_topology(codes: jnp.ndarray, count):
+@functools.partial(jax.jit, static_argnames=("with_parents",))
+def build_topology(codes: jnp.ndarray, count, with_parents: bool = True):
     """All internal-node ranges/splits at once (scan/RMQ Karras — see module
     docstring for the gather-free derivation; output is bit-identical to the
     reference searches, tested against the scalar transcription).
 
     Returns (left, right, left_is_leaf, right_is_leaf, internal_parent,
-    leaf_parent, range_first, range_last), each shaped (capacity,),
-    int32/bool; invalid rows (i >= count-1) carry sentinel -1 links.
+    leaf_parent, range_first, range_last, split_axis), each shaped
+    (capacity,), int32/bool; invalid rows (i >= count-1) carry sentinel -1
+    links.
     ``range_first/last`` is node i's covered sorted-leaf interval
     (DetermineRange's [first, last], BVH.compute:35-52) — the refit consumes
     it as a range-min/max query span.
@@ -139,30 +142,45 @@ def build_topology(codes: jnp.ndarray, count):
     rmq = jnp.minimum(table[k * cap + lo], table[k * cap + second])
     split = rmq & ((1 << 25) - 1)
 
+    # Traversal ordering hint, free from the RMQ result: the split separates
+    # codes at bit (31 - adj[split]); with the x-major interleave
+    # ``xx*4 + yy*2 + zz`` (core/morton.py) bit b belongs to axis
+    # 2 - b % 3 ∈ {0:x, 1:y, 2:z}.  The left child covers the LOWER half
+    # along that axis, so "near child" = left iff the ray direction's
+    # component on that axis is positive.  Heuristic only (distribute_keys
+    # perturbs low bits): affects traversal order, never the hit set.
+    adj_split = (rmq >> 25) - 1
+    bit_pos = jnp.maximum(31 - adj_split, 0)
+    split_axis = 2 - (bit_pos % 3)
+
     valid = ids < n - 1
     left = jnp.where(valid, split, -1)
     right = jnp.where(valid, split + 1, -1)
     left_is_leaf = valid & (split == first)
     right_is_leaf = valid & (split + 1 == last)
 
-    # Parent links via masked scatters (drop out-of-range → masked rows inert).
-    drop = jnp.int32(cap)
+    # Parent links via masked scatters (drop out-of-range → masked rows
+    # inert).  Diagnostic-only: nothing in the render path reads parents, and
+    # the 4 scatters cost ~40 ms at 1M tris — so they are skippable.
     internal_parent = jnp.full(cap, -1, jnp.int32)
     leaf_parent = jnp.full(cap, -1, jnp.int32)
-    li = jnp.where(valid & ~left_is_leaf, left, drop)
-    ri = jnp.where(valid & ~right_is_leaf, right, drop)
-    internal_parent = internal_parent.at[li].set(ids, mode="drop")
-    internal_parent = internal_parent.at[ri].set(ids, mode="drop")
-    ll = jnp.where(left_is_leaf, left, drop)
-    rl = jnp.where(right_is_leaf, right, drop)
-    leaf_parent = leaf_parent.at[ll].set(ids, mode="drop")
-    leaf_parent = leaf_parent.at[rl].set(ids, mode="drop")
+    if with_parents:
+        drop = jnp.int32(cap)
+        li = jnp.where(valid & ~left_is_leaf, left, drop)
+        ri = jnp.where(valid & ~right_is_leaf, right, drop)
+        internal_parent = internal_parent.at[li].set(ids, mode="drop")
+        internal_parent = internal_parent.at[ri].set(ids, mode="drop")
+        ll = jnp.where(left_is_leaf, left, drop)
+        rl = jnp.where(right_is_leaf, right, drop)
+        leaf_parent = leaf_parent.at[ll].set(ids, mode="drop")
+        leaf_parent = leaf_parent.at[rl].set(ids, mode="drop")
 
     range_first = jnp.where(valid, first, -1)
     range_last = jnp.where(valid, last, -1)
+    split_axis = jnp.where(valid, split_axis, 0)
     return (
         left, right, left_is_leaf, right_is_leaf,
-        internal_parent, leaf_parent, range_first, range_last,
+        internal_parent, leaf_parent, range_first, range_last, split_axis,
     )
 
 
@@ -265,7 +283,7 @@ def build_bvh_from_sorted(
     tri_aabb_max: jnp.ndarray,
     count,
     static_count: int | None = None,
-    with_depths: bool = False,
+    diagnostics: bool = False,
 ) -> Bvh:
     """Full LBVH from uniquified sorted codes (the reference's
     ConstructTree + ConstructBVH sequence, BVHConstructor.cs:61-69).
@@ -274,10 +292,10 @@ def build_bvh_from_sorted(
     metadata, so ``static_count`` (a plain int, e.g. the capacity) must be
     supplied in that case and is what lands in ``Bvh.count``.
 
-    ``with_depths=False`` (default) skips the diagnostic per-node depth
-    array (~14 gather passes nothing in the render path reads; -1 filled);
-    pass True — or use :func:`attach_depths` later — where validation wants
-    it."""
+    ``diagnostics=False`` (default) skips the parent-link scatters and the
+    per-node depth array — validation-only data nothing in the render path
+    reads (~45 ms of the 1M-triangle build); -1 filled.  Pass True — or use
+    :func:`attach_diagnostics` later — where validation wants them."""
     if static_count is None:
         if not isinstance(count, int):
             raise TypeError("traced count requires an explicit static_count")
@@ -291,8 +309,9 @@ def build_bvh_from_sorted(
         leaf_parent,
         range_first,
         range_last,
-    ) = build_topology(codes, count)
-    if with_depths:
+        split_axis,
+    ) = build_topology(codes, count, with_parents=diagnostics)
+    if diagnostics:
         depth = compute_depths(internal_parent, count)
     else:
         depth = jnp.full(codes.shape[0], -1, jnp.int32)
@@ -313,6 +332,7 @@ def build_bvh_from_sorted(
         leaf_parent=leaf_parent,
         range_first=range_first,
         range_last=range_last,
+        split_axis=split_axis,
         node_aabb_min=node_min,
         node_aabb_max=node_max,
         sorted_tri=sorted_tri,
@@ -321,6 +341,26 @@ def build_bvh_from_sorted(
     )
 
 
-def attach_depths(bvh: Bvh) -> Bvh:
-    """Fill the diagnostic ``depth`` array of a Bvh built without it."""
-    return bvh.replace(depth=compute_depths(bvh.internal_parent, bvh.count))
+def attach_diagnostics(bvh: Bvh) -> Bvh:
+    """Fill the diagnostic parent links + depth array of a Bvh built without
+    them (recomputed from the child links; identical to a diagnostics=True
+    build)."""
+    cap = bvh.left.shape[0]
+    ids = jnp.arange(cap, dtype=jnp.int32)
+    valid = ids < bvh.count - 1
+    drop = jnp.int32(cap)
+    internal_parent = jnp.full(cap, -1, jnp.int32)
+    leaf_parent = jnp.full(cap, -1, jnp.int32)
+    li = jnp.where(valid & ~bvh.left_is_leaf, bvh.left, drop)
+    ri = jnp.where(valid & ~bvh.right_is_leaf, bvh.right, drop)
+    internal_parent = internal_parent.at[li].set(ids, mode="drop")
+    internal_parent = internal_parent.at[ri].set(ids, mode="drop")
+    ll = jnp.where(bvh.left_is_leaf, bvh.left, drop)
+    rl = jnp.where(bvh.right_is_leaf, bvh.right, drop)
+    leaf_parent = leaf_parent.at[ll].set(ids, mode="drop")
+    leaf_parent = leaf_parent.at[rl].set(ids, mode="drop")
+    return bvh.replace(
+        internal_parent=internal_parent,
+        leaf_parent=leaf_parent,
+        depth=compute_depths(internal_parent, bvh.count),
+    )

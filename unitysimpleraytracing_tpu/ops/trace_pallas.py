@@ -67,7 +67,11 @@ from unitysimpleraytracing_tpu.core.types import Bvh, HitRecord, Scene
 
 PACKET = 1024  # rays per packet: one (8, 128) f32 register per component
 _SUB, _LANE = 8, 128
-DEFAULT_INTERLEAVE = 4  # packets co-traversed per grid step (ILP; see _make_kernel)
+# Packets co-traversed per grid step.  MEASURED on v5e (65K tris, 512²):
+# G=1: 9.98 Mrays/s, G=2: 8.4, G=4: 6.8, G=8: 5.0 — Mosaic does not overlap
+# the independent chains and register pressure grows, so interleaving stays
+# available for experiments but the default is no interleaving.
+DEFAULT_INTERLEAVE = 1
 
 
 _SLOTS = 16          # f32 slots per packed record
@@ -104,8 +108,11 @@ def pack_tables(scene: Scene, bvh: Bvh, flat: bool = True):
     rc = jnp.clip(bvh.right, 0, cap - 1)
     left_idx = jnp.where(bvh.left_is_leaf, bvh.sorted_tri[lc], lc)
     right_idx = jnp.where(bvh.right_is_leaf, bvh.sorted_tri[rc], rc)
-    flags = bvh.left_is_leaf.astype(jnp.int32) | (
-        bvh.right_is_leaf.astype(jnp.int32) << 1
+    # bits 0/1: left/right child is leaf; bits 2-3: split axis (ordering hint)
+    flags = (
+        bvh.left_is_leaf.astype(jnp.int32)
+        | (bvh.right_is_leaf.astype(jnp.int32) << 1)
+        | (jnp.clip(bvh.split_axis, 0, 2) << 2)
     )
 
     def child_box(child, is_leaf, tri_of_child):
@@ -169,7 +176,7 @@ def _fetch(tab, k, count, flat):
     return jax.lax.switch(k % _PACK, [make(j) for j in range(_PACK)], None)
 
 
-def _make_kernel(flat, G=1):
+def _make_kernel(flat, G=1, count_steps=False, order="axis", leaf_cond=False):
     """Build the traversal kernel body.
 
     ``G`` packets are traversed INTERLEAVED inside one grid step: the while
@@ -183,7 +190,11 @@ def _make_kernel(flat, G=1):
     image tiles.  Per-packet results are bit-identical to G=1.
     """
 
-    def _kernel(nodes, tris, rays, out, stack):
+    def _kernel(nodes, tris, rays, out, *rest):
+        if count_steps:
+            steps_out, stack = rest
+        else:
+            (stack,) = rest
         shape = (_SUB, _LANE)
 
         def rowg(g, k):
@@ -193,25 +204,48 @@ def _make_kernel(flat, G=1):
         direc = [(rowg(g, 3), rowg(g, 4), rowg(g, 5)) for g in range(G)]
         inv = [(1.0 / dx, 1.0 / dy, 1.0 / dz) for (dx, dy, dz) in direc]
 
-        def slab(g, bminx, bminy, bminz, bmaxx, bmaxy, bmaxz, t_cur):
+        # order="axis": majority direction sign per axis, ONCE per packet —
+        # each node's near child then comes from its build-time split axis
+        # (2 bits in flags) with zero per-step reductions.
+        sgn = []
+        if order == "axis":
+            for g in range(G):
+                dx, dy, dz = direc[g]
+                sgn.append(
+                    tuple(
+                        jnp.sum(jnp.where(c > 0, 1, -1)) >= 0
+                        for c in (dx, dy, dz)
+                    )
+                )
+
+        def make_slab(nan_safe):
             """Reference slab accept (tmax>tmin && tmax>0,
             Raytracing.compute:86) refined with the exact ``tmin < t_cur``
-            cull; also returns tmin for the near-child vote."""
-            ox, oy, oz = origin[g]
-            ix, iy, iz = inv[g]
-            t1x = (bminx - ox) * ix
-            t2x = (bmaxx - ox) * ix
-            t1y = (bminy - oy) * iy
-            t2y = (bmaxy - oy) * iy
-            t1z = (bminz - oz) * iz
-            t2z = (bmaxz - oz) * iz
-            tmin = _d3d_max(
-                _d3d_min(t1x, t2x), _d3d_max(_d3d_min(t1y, t2y), _d3d_min(t1z, t2z))
-            )
-            tmax = _d3d_min(
-                _d3d_max(t1x, t2x), _d3d_min(_d3d_max(t1y, t2y), _d3d_max(t1z, t2z))
-            )
-            return (tmax > tmin) & (tmax > 0) & (tmin < t_cur), tmin
+            cull; also returns tmin for the near-child vote.
+
+            ``nan_safe=False`` uses plain min/max — BIT-IDENTICAL whenever no
+            slab product is NaN, i.e. whenever every 1/d component is finite
+            (NaN needs 0·inf); the D3D NaN-propagation form costs ~26 extra
+            VPU ops per box.  The caller branches ONCE per grid step on a
+            finiteness vote, so the common case never pays for the rare one.
+            """
+            mn = _d3d_min if nan_safe else jnp.minimum
+            mx = _d3d_max if nan_safe else jnp.maximum
+
+            def slab(g, bminx, bminy, bminz, bmaxx, bmaxy, bmaxz, t_cur):
+                ox, oy, oz = origin[g]
+                ix, iy, iz = inv[g]
+                t1x = (bminx - ox) * ix
+                t2x = (bmaxx - ox) * ix
+                t1y = (bminy - oy) * iy
+                t2y = (bmaxy - oy) * iy
+                t1z = (bminz - oz) * iz
+                t2z = (bmaxz - oz) * iz
+                tmin = mx(mn(t1x, t2x), mx(mn(t1y, t2y), mn(t1z, t2z)))
+                tmax = mn(mx(t1x, t2x), mn(mx(t1y, t2y), mx(t1z, t2z)))
+                return (tmax > tmin) & (tmax > 0) & (tmin < t_cur), tmin
+
+            return slab
 
         def leaf_test(g, tri_idx, gate, state):
             """Möller–Trumbore with the reference's acceptance quirks
@@ -262,7 +296,7 @@ def _make_kernel(flat, G=1):
                 live = live | (sps[g] > 0)
             return live
 
-        def step_one(g, sp, t, tri, u, v):
+        def step_one(slab, g, sp, t, tri, u, v):
             alive = sp > 0
             sp = jnp.where(alive, sp - 1, 0)
             node = jnp.where(alive, stack[g, sp], 0)
@@ -283,11 +317,6 @@ def _make_kernel(flat, G=1):
             )
             any_l = (counts & 2047) > 0
             any_r = (counts >> 11) > 0
-            both_mask = hit_l & hit_r
-            vote = jnp.sum(
-                jnp.where(both_mask, jnp.where(tmin_l <= tmin_r, 1, -1), 0)
-            )
-            l_near = vote >= 0
 
             left_idx = lf.astype(jnp.int32)
             right_idx = rf.astype(jnp.int32)
@@ -295,19 +324,45 @@ def _make_kernel(flat, G=1):
             lleaf = (flags & 1) == 1
             rleaf = (flags & 2) == 2
 
+            if order == "vote":
+                both_mask = hit_l & hit_r
+                vote = jnp.sum(
+                    jnp.where(both_mask, jnp.where(tmin_l <= tmin_r, 1, -1), 0)
+                )
+                l_near = vote >= 0
+            elif order == "axis":
+                # Left child = lower Morton range = lower coordinate along
+                # the split axis → near when the packet travels positive.
+                axis = flags >> 2
+                sx, sy, sz = sgn[g]
+                l_near = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+            else:  # "fixed": reference push order (blind DFS)
+                l_near = jnp.bool_(True)
+
             # Leaf children: intersect in place, gated by their own box mask.
-            t, tri, u, v = jax.lax.cond(
-                any_l & lleaf,
-                lambda s: leaf_test(g, left_idx, hit_l, s),
-                lambda s: s,
-                (t, tri, u, v),
-            )
-            t, tri, u, v = jax.lax.cond(
-                any_r & rleaf,
-                lambda s: leaf_test(g, right_idx, hit_r, s),
-                lambda s: s,
-                (t, tri, u, v),
-            )
+            if leaf_cond:
+                t, tri, u, v = jax.lax.cond(
+                    any_l & lleaf,
+                    lambda s: leaf_test(g, left_idx, hit_l, s),
+                    lambda s: s,
+                    (t, tri, u, v),
+                )
+                t, tri, u, v = jax.lax.cond(
+                    any_r & rleaf,
+                    lambda s: leaf_test(g, right_idx, hit_r, s),
+                    lambda s: s,
+                    (t, tri, u, v),
+                )
+            else:
+                # Branch-free: always run both Möller–Trumbore tests, gated
+                # by mask (trades ~2x vector math + 18 scalar loads per step
+                # for zero scf.if regions).
+                t, tri, u, v = leaf_test(
+                    g, left_idx, hit_l & lleaf & any_l, (t, tri, u, v)
+                )
+                t, tri, u, v = leaf_test(
+                    g, right_idx, hit_r & rleaf & any_r, (t, tri, u, v)
+                )
 
             # Internal children: push far-then-near so the near subtree is
             # explored first.
@@ -328,19 +383,23 @@ def _make_kernel(flat, G=1):
             sp = sp + jnp.where(both, 1, 0)
             return sp, t, tri, u, v
 
-        def body(carry):
-            sps, ts, tris_, us, vs = carry
-            outs = [
-                step_one(g, sps[g], ts[g], tris_[g], us[g], vs[g])
-                for g in range(G)
-            ]
-            return (
-                tuple(o[0] for o in outs),
-                tuple(o[1] for o in outs),
-                tuple(o[2] for o in outs),
-                tuple(o[3] for o in outs),
-                tuple(o[4] for o in outs),
-            )
+        def make_body(slab):
+            def body(carry):
+                sps, ts, tris_, us, vs, nsteps = carry
+                outs = [
+                    step_one(slab, g, sps[g], ts[g], tris_[g], us[g], vs[g])
+                    for g in range(G)
+                ]
+                return (
+                    tuple(o[0] for o in outs),
+                    tuple(o[1] for o in outs),
+                    tuple(o[2] for o in outs),
+                    tuple(o[3] for o in outs),
+                    tuple(o[4] for o in outs),
+                    nsteps + 1,
+                )
+
+            return body
 
         t0 = jnp.full(shape, C.MAX_FLOAT, jnp.float32)
         tri0 = jnp.zeros(shape, jnp.int32)
@@ -351,8 +410,25 @@ def _make_kernel(flat, G=1):
             tuple(tri0 for _ in range(G)),
             tuple(z for _ in range(G)),
             tuple(z for _ in range(G)),
+            jnp.int32(0),
         )
-        _, ts, tris_, us, vs = jax.lax.while_loop(cond, body, init)
+
+        # Branch ONCE per grid step: if every 1/d component is finite, no
+        # slab product can be NaN and the plain-min/max loop is bit-identical
+        # to the D3D-NaN-semantics loop (see make_slab).
+        nonfinite = jnp.int32(0)
+        for g in range(G):
+            ix, iy, iz = inv[g]
+            bad = ~(jnp.isfinite(ix) & jnp.isfinite(iy) & jnp.isfinite(iz))
+            nonfinite = nonfinite + jnp.sum(bad.astype(jnp.int32))
+        _, ts, tris_, us, vs, nsteps = jax.lax.cond(
+            nonfinite > 0,
+            lambda ini: jax.lax.while_loop(cond, make_body(make_slab(True)), ini),
+            lambda ini: jax.lax.while_loop(cond, make_body(make_slab(False)), ini),
+            init,
+        )
+        if count_steps:
+            steps_out[pl.program_id(0), 0] = nsteps
 
         for g in range(G):
             out[g, 0] = ts[g].reshape(PACKET)
@@ -364,26 +440,39 @@ def _make_kernel(flat, G=1):
 
 
 @functools.lru_cache(maxsize=64)
-def _traversal_fn(T: int, cap: int, flat: bool, interpret: bool, G: int = 1):
+def _traversal_fn(
+    T: int, cap: int, flat: bool, interpret: bool, G: int = 1,
+    count_steps: bool = False, order: str = "axis", leaf_cond: bool = False,
+):
     """Build + cache the jitted kernel wrapper for a (packets, capacity) shape.
 
     ``G`` = packets interleaved per grid step (ILP over independent DFS
-    chains); must divide T."""
+    chains); must divide T.  ``count_steps`` adds a per-grid-step while-loop
+    iteration count output (profiling/roofline accounting)."""
 
     assert T % G == 0
     tab_shape = (cap, _SLOTS) if flat else (cap // _PACK, 128)
+    out_shape = [jax.ShapeDtypeStruct((T, 4, PACKET), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec((G, 4, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    ]
+    if count_steps:
+        # SMEM outputs need whole-array blocks on TPU; each grid step writes
+        # its own row (the block is grid-invariant, so it stays resident).
+        out_shape.append(jax.ShapeDtypeStruct((T // G, 1), jnp.int32))
+        out_specs.append(
+            pl.BlockSpec((T // G, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        )
     call = pl.pallas_call(
-        _make_kernel(flat, G),
+        _make_kernel(flat, G, count_steps, order, leaf_cond),
         grid=(T // G,),
         in_specs=[
             pl.BlockSpec(tab_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(tab_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((G, 8, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (G, 4, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((T, 4, PACKET), jnp.float32),
+        out_specs=out_specs if count_steps else out_specs[0],
+        out_shape=out_shape if count_steps else out_shape[0],
         scratch_shapes=[pltpu.SMEM((G, C.TRAVERSAL_STACK_DEPTH), jnp.int32)],
         interpret=interpret,
     )
@@ -395,12 +484,34 @@ def _traversal_fn(T: int, cap: int, flat: bool, interpret: bool, G: int = 1):
             [origins.T, dirs.T, jnp.zeros((2, R), jnp.float32)], axis=0
         )  # (8, R)
         rays = rays.reshape(8, T, PACKET).transpose(1, 0, 2)  # (T, 8, PACKET)
-        out = call(nodes, tris, rays)
+        res = call(nodes, tris, rays)
+        out, steps = res if count_steps else (res, None)
         out = out.transpose(1, 0, 2).reshape(4, R)
         tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)
+        if count_steps:
+            return out[0], tri, out[2], out[3], steps
         return out[0], tri, out[2], out[3]
 
     return run
+
+
+def traversal_step_counts(
+    scene: Scene, bvh: Bvh, origins, dirs,
+    interpret: bool = False, interleave: int | None = None,
+):
+    """While-loop steps per grid step (profiling): returns (hits, steps)."""
+    R = origins.shape[0]
+    assert R % PACKET == 0
+    T = R // PACKET
+    flat = bvh.capacity <= FLAT_MAX_CAPACITY
+    if interleave is None:
+        interleave = next(g for g in (DEFAULT_INTERLEAVE, 2, 1) if T % g == 0)
+    nodes, tris = prepare_tables(scene, bvh, flat=flat)
+    run = _traversal_fn(
+        T, bvh.capacity, flat, interpret, interleave, True, "axis", False
+    )
+    t, tri, u, v, steps = run(nodes, tris, origins, dirs)
+    return HitRecord(t=t, tri=tri, u=u, v=v), steps
 
 
 # id(bvh) -> (weakref(bvh), weakref(scene), flat, tables).  Bvh can't key a
@@ -452,6 +563,8 @@ def traverse_packets_pallas(
     tables=None,
     flat: bool | None = None,
     interleave: int | None = None,
+    order: str = "axis",
+    leaf_cond: bool = False,
 ) -> HitRecord:
     """Kernel-based nearest-hit traversal over (R, 3) rays.
 
@@ -471,6 +584,9 @@ def traverse_packets_pallas(
     if interleave is None:
         interleave = next(g for g in (DEFAULT_INTERLEAVE, 2, 1) if T % g == 0)
     nodes, tris = tables if tables is not None else prepare_tables(scene, bvh, flat=flat)
-    run = _traversal_fn(T, bvh.capacity, flat, interpret, interleave)
+    run = _traversal_fn(
+        T, bvh.capacity, flat, interpret, interleave,
+        False, order, leaf_cond,
+    )
     t, tri, u, v = run(nodes, tris, origins, dirs)
     return HitRecord(t=t, tri=tri, u=u, v=v)

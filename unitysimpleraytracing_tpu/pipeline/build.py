@@ -20,12 +20,12 @@ from unitysimpleraytracing_tpu.core.types import Bvh, Scene
 from unitysimpleraytracing_tpu.ops import lbvh, sort, unique
 
 
-@functools.partial(jax.jit, static_argnames=("sort_impl", "with_depths"))
-def build_bvh(scene: Scene, sort_impl: str = "xla", with_depths: bool = False) -> Bvh:
+@functools.partial(jax.jit, static_argnames=("sort_impl", "diagnostics"))
+def build_bvh(scene: Scene, sort_impl: str = "xla", diagnostics: bool = False) -> Bvh:
     """Construct the LBVH for a scene. Requires scene.count >= 2.
 
-    ``with_depths`` adds the diagnostic per-node depth array (validation
-    only; nothing in the render path reads it)."""
+    ``diagnostics`` adds the parent links + per-node depth array
+    (validation only; nothing in the render path reads them)."""
     if isinstance(scene.count, int) and scene.count < 2:
         raise ValueError("LBVH needs at least 2 triangles (reference assumes the same)")
     keys, sorted_tri = sort.sort_key_val(
@@ -34,7 +34,7 @@ def build_bvh(scene: Scene, sort_impl: str = "xla", with_depths: bool = False) -
     keys = unique.distribute_keys(keys, scene.count)
     return lbvh.build_bvh_from_sorted(
         keys, sorted_tri, scene.aabb_min, scene.aabb_max, scene.count,
-        with_depths=with_depths,
+        diagnostics=diagnostics,
     )
 
 

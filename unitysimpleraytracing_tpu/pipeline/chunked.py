@@ -81,6 +81,7 @@ def _chunk_bvh(bvhs: Bvh, s: int, cap: int) -> Bvh:
         left_is_leaf=bvhs.left_is_leaf[s], right_is_leaf=bvhs.right_is_leaf[s],
         internal_parent=bvhs.internal_parent[s], leaf_parent=bvhs.leaf_parent[s],
         range_first=bvhs.range_first[s], range_last=bvhs.range_last[s],
+        split_axis=bvhs.split_axis[s],
         node_aabb_min=bvhs.node_aabb_min[s], node_aabb_max=bvhs.node_aabb_max[s],
         sorted_tri=bvhs.sorted_tri[s], depth=bvhs.depth[s],
         count=cap,
