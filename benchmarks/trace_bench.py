@@ -38,6 +38,8 @@ def main() -> None:
                         "masked — measured 15%% faster on v5e)")
     p.add_argument("--count-steps", action="store_true",
                    help="also report while-loop steps per packet (slower run)")
+    p.add_argument("--unroll", type=int, default=1,
+                   help="DFS steps per while iteration (identical order)")
     args = p.parse_args()
 
     import jax
@@ -83,11 +85,13 @@ def main() -> None:
             flat=flat, interleave=g,
             order=args.order,
             leaf_cond=args.leaf_cond,
+            unroll=args.unroll,
         ).t
         s = measure(fn, iters=args.iters, reps=args.reps)
         rec = {
             "variant": f"interleave={g},flat={args.flat},"
-                       f"order={args.order},cond={args.leaf_cond}",
+                       f"order={args.order},cond={args.leaf_cond},"
+                       f"unroll={args.unroll}",
             "mrays_per_s": round(R / s / 1e6, 3),
             "ms_per_frame": round(s * 1e3, 3),
         }

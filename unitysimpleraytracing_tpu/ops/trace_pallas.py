@@ -176,7 +176,9 @@ def _fetch(tab, k, count, flat):
     return jax.lax.switch(k % _PACK, [make(j) for j in range(_PACK)], None)
 
 
-def _make_kernel(flat, G=1, count_steps=False, order="axis", leaf_cond=False):
+def _make_kernel(
+    flat, G=1, count_steps=False, order="axis", leaf_cond=False, unroll=1
+):
     """Build the traversal kernel body.
 
     ``G`` packets are traversed INTERLEAVED inside one grid step: the while
@@ -386,18 +388,17 @@ def _make_kernel(flat, G=1, count_steps=False, order="axis", leaf_cond=False):
         def make_body(slab):
             def body(carry):
                 sps, ts, tris_, us, vs, nsteps = carry
-                outs = [
-                    step_one(slab, g, sps[g], ts[g], tris_[g], us[g], vs[g])
-                    for g in range(G)
-                ]
-                return (
-                    tuple(o[0] for o in outs),
-                    tuple(o[1] for o in outs),
-                    tuple(o[2] for o in outs),
-                    tuple(o[3] for o in outs),
-                    tuple(o[4] for o in outs),
-                    nsteps + 1,
-                )
+                for _ in range(unroll):  # sequential: identical DFS order
+                    outs = [
+                        step_one(slab, g, sps[g], ts[g], tris_[g], us[g], vs[g])
+                        for g in range(G)
+                    ]
+                    sps = tuple(o[0] for o in outs)
+                    ts = tuple(o[1] for o in outs)
+                    tris_ = tuple(o[2] for o in outs)
+                    us = tuple(o[3] for o in outs)
+                    vs = tuple(o[4] for o in outs)
+                return (sps, ts, tris_, us, vs, nsteps + 1)
 
             return body
 
@@ -443,6 +444,7 @@ def _make_kernel(flat, G=1, count_steps=False, order="axis", leaf_cond=False):
 def _traversal_fn(
     T: int, cap: int, flat: bool, interpret: bool, G: int = 1,
     count_steps: bool = False, order: str = "axis", leaf_cond: bool = False,
+    unroll: int = 1,
 ):
     """Build + cache the jitted kernel wrapper for a (packets, capacity) shape.
 
@@ -464,7 +466,7 @@ def _traversal_fn(
             pl.BlockSpec((T // G, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
         )
     call = pl.pallas_call(
-        _make_kernel(flat, G, count_steps, order, leaf_cond),
+        _make_kernel(flat, G, count_steps, order, leaf_cond, unroll),
         grid=(T // G,),
         in_specs=[
             pl.BlockSpec(tab_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -565,6 +567,7 @@ def traverse_packets_pallas(
     interleave: int | None = None,
     order: str = "axis",
     leaf_cond: bool = False,
+    unroll: int = 1,
 ) -> HitRecord:
     """Kernel-based nearest-hit traversal over (R, 3) rays.
 
@@ -586,7 +589,7 @@ def traverse_packets_pallas(
     nodes, tris = tables if tables is not None else prepare_tables(scene, bvh, flat=flat)
     run = _traversal_fn(
         T, bvh.capacity, flat, interpret, interleave,
-        False, order, leaf_cond,
+        False, order, leaf_cond, unroll,
     )
     t, tri, u, v = run(nodes, tris, origins, dirs)
     return HitRecord(t=t, tri=tri, u=u, v=v)
