@@ -125,7 +125,7 @@ def main() -> None:
     except Exception as e:
         _note(f"dynamic skipped: {e}")
 
-    # ---- build at ~1M tris (config 5 build bound) -------------------------
+    # ---- build + chunked trace at ~1M tris (config 5, single chip) --------
     try:
         big = rt.build_scene(
             rt.terrain_mesh(res=BIG_RES, size=300.0, amplitude=30.0, seed=0)
@@ -134,9 +134,23 @@ def main() -> None:
         extra["lbvh_build_1m_ms"] = round(s * 1e3, 2)
         extra["n_tris_1m"] = big.count
         _note(f"build 1M: {s*1e3:.1f} ms")
-        del big
+
+        # Beyond the packed-table VMEM ceiling (~600K tris) the chunked path
+        # streams per-chunk tables through successive kernel launches.
+        bcam = rt.make_camera(
+            eye=(210.0, 170.0, 260.0), target=(0.0, 0.0, 0.0),
+            width=WIDTH, height=HEIGHT, fov_deg=60.0,
+        )
+        cbvh = rt.build_bvh_chunked(big, chunk_capacity=524288)
+        s = measure(
+            lambda: rt.render_hits_chunked(big, cbvh, bcam).t, iters=2, reps=4
+        )
+        extra["chunked_1m_mrays"] = round(WIDTH * HEIGHT / s / 1e6, 2)
+        extra["chunked_1m_chunks"] = cbvh.num_chunks
+        _note(f"chunked 1M trace: {extra['chunked_1m_mrays']} Mrays/s")
+        del big, cbvh
     except Exception as e:
-        _note(f"1M build skipped: {e}")
+        _note(f"1M build/trace skipped: {e}")
 
     # ---- sort engines head-to-head ----------------------------------------
     rng = np.random.default_rng(0)

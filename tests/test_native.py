@@ -1,4 +1,6 @@
 """Native C++ OBJ loader vs the pure-Python parser (bit-identical contract)."""
+import os
+
 import numpy as np
 import pytest
 
@@ -51,3 +53,23 @@ def test_native_polygon_fan_and_negative_indices(tmp_path):
 def test_native_missing_file_raises():
     with pytest.raises(RuntimeError):
         native.load_obj_native("/nonexistent/file.obj")
+
+
+@needs_native
+def test_native_png_unfilter_matches_pure(tmp_path):
+    """C++ PNG unfilter (native/image.cpp) is bit-identical to the Python
+    loops across all filter types (the reference texture uses 1-4)."""
+    import unitysimpleraytracing_tpu.native as N
+    from unitysimpleraytracing_tpu.io import png as P
+
+    src = "/root/reference/Assets/_Assets/viking_room.png"
+    if not os.path.exists(src):
+        pytest.skip("reference texture not present")
+    a = P._read_png_pure(src)
+    orig = N.png_unfilter_native
+    N.png_unfilter_native = lambda *args: (_ for _ in ()).throw(RuntimeError)
+    try:
+        b = P._read_png_pure(src)
+    finally:
+        N.png_unfilter_native = orig
+    np.testing.assert_array_equal(a, b)

@@ -64,6 +64,22 @@ def _read_png_pure(path: str) -> np.ndarray:
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     raw = zlib.decompress(idat)
     stride = w * channels
+
+    # Native fast path: the per-byte Sub/Average/Paeth loops in C++
+    # (native/image.cpp); pure-Python below as fallback.
+    try:
+        from unitysimpleraytracing_tpu import native
+
+        out = native.png_unfilter_native(raw, h, stride, channels)
+        img = out.reshape(h, w, channels)
+        if color_type == 3:
+            if palette is None:
+                raise ValueError("palette PNG missing PLTE")
+            img = palette[img[:, :, 0]]
+        return img
+    except (RuntimeError, ImportError):
+        pass
+
     out = np.zeros((h, stride), np.uint8)
     prev = np.zeros(stride, np.int32)
     off = 0

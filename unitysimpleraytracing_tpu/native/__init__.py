@@ -1,10 +1,11 @@
 """Native runtime components (C++ via ctypes).
 
 The compute path is JAX/XLA/Pallas; the host runtime around it keeps its hot
-IO in C++ — currently the OBJ data loader (``ingest.cpp``), built on demand
-with the system ``g++`` and loaded through ``ctypes`` (no pybind11 in the
-image).  Every native entry point has a pure-Python fallback, so the package
-works (slower) without a toolchain.
+IO in C++ — the OBJ data loader (``ingest.cpp``) and the PNG scanline
+unfilter (``image.cpp``) — built on demand with the system ``g++`` and
+loaded through ``ctypes`` (no pybind11 in the image).  Every native entry
+point has a pure-Python fallback, so the package works (slower) without a
+toolchain.
 """
 from __future__ import annotations
 
@@ -16,7 +17,8 @@ import threading
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "ingest.cpp")
+_SRCS = [os.path.join(_DIR, "ingest.cpp"), os.path.join(_DIR, "image.cpp")]
+_SRC = _SRCS[0]
 _LIB = os.path.join(_DIR, "libingest.so")
 
 _lock = threading.Lock()
@@ -37,9 +39,11 @@ class _ObjMesh(ctypes.Structure):
 
 def _build() -> str | None:
     """Compile ingest.cpp → libingest.so; returns an error string on failure."""
-    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+    if os.path.exists(_LIB) and all(
+        os.path.getmtime(_LIB) >= os.path.getmtime(s) for s in _SRCS
+    ):
         return None
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", *_SRCS, "-o", _LIB]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
     except (OSError, subprocess.TimeoutExpired) as e:
@@ -63,6 +67,11 @@ def _load() -> ctypes.CDLL | None:
         lib.obj_load.argtypes = [ctypes.c_char_p]
         lib.obj_free.argtypes = [ctypes.POINTER(_ObjMesh)]
         lib.obj_last_error.restype = ctypes.c_char_p
+        lib.png_unfilter.restype = ctypes.c_long
+        lib.png_unfilter.argtypes = [
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.POINTER(ctypes.c_ubyte),
+        ]
         _lib = lib
         return _lib
 
@@ -98,3 +107,25 @@ def load_obj_native(path: str):
     finally:
         lib.obj_free(m)
     return pos, uv, nrm, has_nrm
+
+
+def png_unfilter_native(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Unfilter PNG scanlines with the C++ fast path.
+
+    ``raw`` is the zlib-decompressed stream (h rows of 1 filter byte +
+    ``stride`` data bytes); returns (h, stride) uint8.  Raises RuntimeError
+    if the library is unavailable or a filter type is invalid.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(_build_error or "native library unavailable")
+    src = np.frombuffer(raw, np.uint8, h * (stride + 1))
+    out = np.empty((h, stride), np.uint8)
+    rc = lib.png_unfilter(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        h, stride, bpp,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    if rc:
+        raise RuntimeError(f"bad PNG filter type at row {rc - 1}")
+    return out

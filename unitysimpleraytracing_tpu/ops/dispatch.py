@@ -42,12 +42,17 @@ def trace_rays(
     dirs: jnp.ndarray,
     impl: str = "auto",
     tables=None,
+    t_init=None,
 ) -> HitRecord:
     """Trace an (R, 3) ray batch with the chosen engine, padding R as needed.
 
     Rays should arrive in a coherent order (image-tile order for camera rays).
     ``tables`` optionally carries `trace_pallas.prepare_tables` output so a
-    static scene is packed once, not per frame.
+    static scene is packed once, not per frame.  ``t_init`` (optional (R,)
+    f32) is an exact pruning bound from a previous traversal (chunk/hop);
+    engines that cannot exploit it ignore it — results are identical either
+    way (a candidate at or beyond the bound can never win the caller's
+    strict-< fold).
     """
     impl = resolve_impl(impl, bvh.capacity)
     if impl == "perray":
@@ -59,11 +64,16 @@ def trace_rays(
     if pad:
         origins = jnp.concatenate([origins, jnp.broadcast_to(origins[:1], (pad, 3))])
         dirs = jnp.concatenate([dirs, jnp.broadcast_to(dirs[:1], (pad, 3))])
+        if t_init is not None:
+            t_init = jnp.concatenate(
+                [t_init, jnp.zeros((pad,), jnp.float32)]  # padding: cull all
+            )
 
     if impl == "pallas":
         hits = trace_pallas.traverse_packets_pallas(
             scene, bvh, origins, dirs,
             interpret=jax.default_backend() == "cpu", tables=tables,
+            t_init=t_init,
         )
     elif impl == "packet":
         hits = trace_packet.traverse_packets(scene, bvh, origins, dirs, packet_size=packet)

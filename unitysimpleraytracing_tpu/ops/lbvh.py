@@ -243,36 +243,32 @@ def refit(
     ids = jnp.arange(cap, dtype=jnp.int32)
     valid = ids < count - 1
 
-    # Sorted-leaf AABB sequence (the only gather besides the final lookups).
-    s_min = tri_aabb_min[sorted_tri]
-    s_max = tri_aabb_max[sorted_tri]
+    # Sorted-leaf AABB sequence, min NEGATED so both halves combine with a
+    # single elementwise max — one 6-wide gather per lookup instead of two
+    # 3-wide ones (the gathers dominate refit at 1M tris).
+    s = jnp.concatenate([-tri_aabb_min, tri_aabb_max], axis=1)[sorted_tri]
 
     levels = max(int(cap).bit_length(), 1)  # window sizes 2^0 .. 2^(levels-1)
-    mins, maxs = [s_min], [s_max]
+    tabs = [s]
     w = 1
     for _ in range(levels - 1):
-        pm, px = mins[-1], maxs[-1]
-        # Rows past cap-w read +/-inf pads; valid queries never touch them
+        p = tabs[-1]
+        # Rows past cap-w read -inf pads; valid queries never touch them
         # (their window always fits inside [0, count)).
-        mins.append(
-            jnp.minimum(pm, jnp.concatenate([pm[w:], jnp.full((w, 3), jnp.inf)]))
-        )
-        maxs.append(
-            jnp.maximum(px, jnp.concatenate([px[w:], jnp.full((w, 3), -jnp.inf)]))
+        tabs.append(
+            jnp.maximum(p, jnp.concatenate([p[w:], jnp.full((w, 6), -jnp.inf)]))
         )
         w *= 2
-    table_min = jnp.stack(mins)  # (levels, cap, 3)
-    table_max = jnp.stack(maxs)
+    table = jnp.concatenate(tabs)  # (levels*cap, 6)
 
     first = jnp.clip(range_first, 0, cap - 1)
     last = jnp.clip(range_last, 0, cap - 1)
     length = jnp.maximum(last - first + 1, 1)
     k = 31 - jax.lax.clz(length)  # floor(log2(length))
     second = last + 1 - (jnp.int32(1) << k)
-    node_min = jnp.minimum(table_min[k, first], table_min[k, second])
-    node_max = jnp.maximum(table_max[k, first], table_max[k, second])
-    node_min = jnp.where(valid[:, None], node_min, 0.0)
-    node_max = jnp.where(valid[:, None], node_max, 0.0)
+    merged = jnp.maximum(table[k * cap + first], table[k * cap + second])
+    node_min = jnp.where(valid[:, None], -merged[:, 0:3], 0.0)
+    node_max = jnp.where(valid[:, None], merged[:, 3:6], 0.0)
     return node_min, node_max
 
 

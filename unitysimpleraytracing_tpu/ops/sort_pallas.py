@@ -60,7 +60,7 @@ def _hist_kernel(shift, keys, hist):
     acc = jnp.zeros((1, _NB), jnp.float32)
     for r in range(_ROWS):
         acc = acc + jnp.sum(_onehot_row(d[r].astype(jnp.int32)), axis=0, keepdims=True)
-    hist[0] = acc.reshape(_NB)
+    hist[0] = acc  # (1, NB) row of this block's (nblocks, 1, NB) output
 
 
 def _rank_kernel(shift, keys, bases, out):
@@ -76,7 +76,7 @@ def _rank_kernel(shift, keys, bases, out):
         jax.lax.broadcasted_iota(jnp.float32, (_LANE, _LANE), 0)
         >= jax.lax.broadcasted_iota(jnp.float32, (_LANE, _LANE), 1)
     ).astype(jnp.float32)  # lower-triangular ones (inclusive)
-    base = bases[0].reshape(1, _NB)  # running per-bucket base for this block
+    base = bases[0]  # (1, NB) running per-bucket base for this block
     for r in range(_ROWS):
         oh = _onehot_row(d[r].astype(jnp.int32))  # (LANE, NB)
         run = jnp.dot(tri, oh, preferred_element_type=jnp.float32)  # (LANE, NB)
@@ -87,14 +87,18 @@ def _rank_kernel(shift, keys, bases, out):
 
 @functools.lru_cache(maxsize=64)
 def _pass_fns(nblocks: int, shift: int, interpret: bool):
+    # Histogram/base arrays carry a singleton middle axis so every block is
+    # (1, 1, NB): Mosaic requires the LAST TWO block dims to be (8k, 128k) or
+    # equal to the array dims — (1, NB) blocks of a (nblocks, NB) array do
+    # not lower on real TPUs.
     hist_call = pl.pallas_call(
         functools.partial(_hist_kernel, shift),
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((1, _ROWS, _LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec((1, _NB), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nblocks, _NB), jnp.float32),
+        out_specs=pl.BlockSpec((1, 1, _NB), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks, 1, _NB), jnp.float32),
         interpret=interpret,
     )
     rank_call = pl.pallas_call(
@@ -102,7 +106,7 @@ def _pass_fns(nblocks: int, shift: int, interpret: bool):
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((1, _ROWS, _LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _NB), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _NB), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, _ROWS, _LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -117,13 +121,13 @@ def _sort_pass(keys, values, shift: int, nblocks: int, interpret: bool):
     n = keys.shape[0]
     hist_call, rank_call = _pass_fns(nblocks, shift, interpret)
     kb = keys.reshape(nblocks, _ROWS, _LANE)
-    hist = hist_call(kb)  # (nblocks, NB) f32
+    hist = hist_call(kb).reshape(nblocks, _NB)
     # Transposed-histogram scan (LocalRadixSort.compute:132's layout): bucket-
     # major flatten → exclusive scan → per-(bucket, block) global base.
     bases_bm = scan_pallas.exclusive_scan(
         hist.T.reshape(-1), interpret=interpret
     ).reshape(_NB, nblocks)
-    dst = rank_call(kb, bases_bm.T.copy()).reshape(n)  # destination per element
+    dst = rank_call(kb, bases_bm.T.reshape(nblocks, 1, _NB)).reshape(n)
     # Realize the permutation: one scatter-of-iota, then bulk gathers.
     inv = jnp.zeros((n,), jnp.int32).at[dst].set(
         jnp.arange(n, dtype=jnp.int32), unique_indices=True, mode="drop"

@@ -72,6 +72,9 @@ _SUB, _LANE = 8, 128
 # the independent chains and register pressure grows, so interleaving stays
 # available for experiments but the default is no interleaving.
 DEFAULT_INTERLEAVE = 1
+# Cap on packets per pallas_call: XLA stages the kernel output in scoped
+# VMEM (16 MB limit on v5e); 512 packets → 8 MB output window.
+MAX_PACKETS_PER_CALL = 512
 
 
 _SLOTS = 16          # f32 slots per packed record
@@ -220,34 +223,28 @@ def _make_kernel(
                     )
                 )
 
-        def make_slab(nan_safe):
+        def slab(g, bminx, bminy, bminz, bmaxx, bmaxy, bmaxz, t_cur):
             """Reference slab accept (tmax>tmin && tmax>0,
-            Raytracing.compute:86) refined with the exact ``tmin < t_cur``
-            cull; also returns tmin for the near-child vote.
-
-            ``nan_safe=False`` uses plain min/max — BIT-IDENTICAL whenever no
-            slab product is NaN, i.e. whenever every 1/d component is finite
-            (NaN needs 0·inf); the D3D NaN-propagation form costs ~26 extra
-            VPU ops per box.  The caller branches ONCE per grid step on a
-            finiteness vote, so the common case never pays for the rare one.
-            """
-            mn = _d3d_min if nan_safe else jnp.minimum
-            mx = _d3d_max if nan_safe else jnp.maximum
-
-            def slab(g, bminx, bminy, bminz, bmaxx, bmaxy, bmaxz, t_cur):
-                ox, oy, oz = origin[g]
-                ix, iy, iz = inv[g]
-                t1x = (bminx - ox) * ix
-                t2x = (bmaxx - ox) * ix
-                t1y = (bminy - oy) * iy
-                t2y = (bmaxy - oy) * iy
-                t1z = (bminz - oz) * iz
-                t2z = (bmaxz - oz) * iz
-                tmin = mx(mn(t1x, t2x), mx(mn(t1y, t2y), mn(t1z, t2z)))
-                tmax = mn(mx(t1x, t2x), mn(mx(t1y, t2y), mx(t1z, t2z)))
-                return (tmax > tmin) & (tmax > 0) & (tmin < t_cur), tmin
-
-            return slab
+            Raytracing.compute:86) with D3D NaN propagation, refined with the
+            exact ``tmin < t_cur`` cull; also returns tmin for ordering.
+            (A plain-min/max fast path was tried behind a per-packet
+            finiteness vote: ~0 measured gain — the step is scalar/sync
+            bound, not VPU bound — and it doubled the compile; removed.)"""
+            ox, oy, oz = origin[g]
+            ix, iy, iz = inv[g]
+            t1x = (bminx - ox) * ix
+            t2x = (bmaxx - ox) * ix
+            t1y = (bminy - oy) * iy
+            t2y = (bmaxy - oy) * iy
+            t1z = (bminz - oz) * iz
+            t2z = (bmaxz - oz) * iz
+            tmin = _d3d_max(
+                _d3d_min(t1x, t2x), _d3d_max(_d3d_min(t1y, t2y), _d3d_min(t1z, t2z))
+            )
+            tmax = _d3d_min(
+                _d3d_max(t1x, t2x), _d3d_min(_d3d_max(t1y, t2y), _d3d_max(t1z, t2z))
+            )
+            return (tmax > tmin) & (tmax > 0) & (tmin < t_cur), tmin
 
         def leaf_test(g, tri_idx, gate, state):
             """Möller–Trumbore with the reference's acceptance quirks
@@ -298,7 +295,7 @@ def _make_kernel(
                 live = live | (sps[g] > 0)
             return live
 
-        def step_one(slab, g, sp, t, tri, u, v):
+        def step_one(g, sp, t, tri, u, v):
             alive = sp > 0
             sp = jnp.where(alive, sp - 1, 0)
             node = jnp.where(alive, stack[g, sp], 0)
@@ -385,49 +382,35 @@ def _make_kernel(
             sp = sp + jnp.where(both, 1, 0)
             return sp, t, tri, u, v
 
-        def make_body(slab):
-            def body(carry):
-                sps, ts, tris_, us, vs, nsteps = carry
-                for _ in range(unroll):  # sequential: identical DFS order
-                    outs = [
-                        step_one(slab, g, sps[g], ts[g], tris_[g], us[g], vs[g])
-                        for g in range(G)
-                    ]
-                    sps = tuple(o[0] for o in outs)
-                    ts = tuple(o[1] for o in outs)
-                    tris_ = tuple(o[2] for o in outs)
-                    us = tuple(o[3] for o in outs)
-                    vs = tuple(o[4] for o in outs)
-                return (sps, ts, tris_, us, vs, nsteps + 1)
+        def body(carry):
+            sps, ts, tris_, us, vs, nsteps = carry
+            for _ in range(unroll):  # sequential: identical DFS order
+                outs = [
+                    step_one(g, sps[g], ts[g], tris_[g], us[g], vs[g])
+                    for g in range(G)
+                ]
+                sps = tuple(o[0] for o in outs)
+                ts = tuple(o[1] for o in outs)
+                tris_ = tuple(o[2] for o in outs)
+                us = tuple(o[3] for o in outs)
+                vs = tuple(o[4] for o in outs)
+            return (sps, ts, tris_, us, vs, nsteps + 1)
 
-            return body
-
-        t0 = jnp.full(shape, C.MAX_FLOAT, jnp.float32)
+        # Ray row 6 seeds the running best t (MAX_FLOAT normally; a known
+        # bound from an earlier chunk/ring hop prunes the whole DFS against
+        # it — exact, since a culled candidate can never win the strict-<).
         tri0 = jnp.zeros(shape, jnp.int32)
         z = jnp.zeros(shape, jnp.float32)
         init = (
             tuple(jnp.int32(1) for _ in range(G)),
-            tuple(t0 for _ in range(G)),
+            tuple(rowg(g, 6) for g in range(G)),
             tuple(tri0 for _ in range(G)),
             tuple(z for _ in range(G)),
             tuple(z for _ in range(G)),
             jnp.int32(0),
         )
 
-        # Branch ONCE per grid step: if every 1/d component is finite, no
-        # slab product can be NaN and the plain-min/max loop is bit-identical
-        # to the D3D-NaN-semantics loop (see make_slab).
-        nonfinite = jnp.int32(0)
-        for g in range(G):
-            ix, iy, iz = inv[g]
-            bad = ~(jnp.isfinite(ix) & jnp.isfinite(iy) & jnp.isfinite(iz))
-            nonfinite = nonfinite + jnp.sum(bad.astype(jnp.int32))
-        _, ts, tris_, us, vs, nsteps = jax.lax.cond(
-            nonfinite > 0,
-            lambda ini: jax.lax.while_loop(cond, make_body(make_slab(True)), ini),
-            lambda ini: jax.lax.while_loop(cond, make_body(make_slab(False)), ini),
-            init,
-        )
+        _, ts, tris_, us, vs, nsteps = jax.lax.while_loop(cond, body, init)
         if count_steps:
             steps_out[pl.program_id(0), 0] = nsteps
 
@@ -476,14 +459,25 @@ def _traversal_fn(
         out_specs=out_specs if count_steps else out_specs[0],
         out_shape=out_shape if count_steps else out_shape[0],
         scratch_shapes=[pltpu.SMEM((G, C.TRAVERSAL_STACK_DEPTH), jnp.int32)],
+        # The default scoped-VMEM budget is 16 MiB; the packed tables for
+        # 96K-600K-triangle scenes need up to ~77 MiB (measured OOM at 260K
+        # without this).  v5e has 128 MiB/core.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )
 
     @jax.jit
-    def run(nodes, tris, origins, dirs):
+    def run(nodes, tris, origins, dirs, t_init=None):
         R = T * PACKET
+        t_row = (
+            jnp.full((1, R), C.MAX_FLOAT, jnp.float32)
+            if t_init is None
+            else t_init.reshape(1, R)
+        )
         rays = jnp.concatenate(
-            [origins.T, dirs.T, jnp.zeros((2, R), jnp.float32)], axis=0
+            [origins.T, dirs.T, t_row, jnp.zeros((1, R), jnp.float32)], axis=0
         )  # (8, R)
         rays = rays.reshape(8, T, PACKET).transpose(1, 0, 2)  # (T, 8, PACKET)
         res = call(nodes, tris, rays)
@@ -568,8 +562,13 @@ def traverse_packets_pallas(
     order: str = "axis",
     leaf_cond: bool = False,
     unroll: int = 1,
+    t_init: jnp.ndarray | None = None,
 ) -> HitRecord:
     """Kernel-based nearest-hit traversal over (R, 3) rays.
+
+    ``t_init`` (optional (R,) f32) seeds each ray's running best t — hits at
+    or beyond it are pruned AND rejected exactly as if a previous traversal
+    had already found a hit there (cross-chunk / ring-hop culling).
 
     R must be a multiple of PACKET (1024); order rays coherently
     (`trace_packet.tiled_ray_order`).  Hit-compatible with `trace.traverse`
@@ -584,12 +583,30 @@ def traverse_packets_pallas(
     T = R // PACKET
     if flat is None:
         flat = bvh.capacity <= FLAT_MAX_CAPACITY
-    if interleave is None:
-        interleave = next(g for g in (DEFAULT_INTERLEAVE, 2, 1) if T % g == 0)
     nodes, tris = tables if tables is not None else prepare_tables(scene, bvh, flat=flat)
-    run = _traversal_fn(
-        T, bvh.capacity, flat, interpret, interleave,
-        False, order, leaf_cond, unroll,
-    )
-    t, tri, u, v = run(nodes, tris, origins, dirs)
+
+    # Bounded launches: XLA stages a pallas_call's whole output in scoped
+    # VMEM (observed OOM at 1980 packets / 32 MB out), so large batches are
+    # split into ≤MAX_PACKETS_PER_CALL-packet kernel calls (8 MB out each).
+    outs = []
+    for lo in range(0, T, MAX_PACKETS_PER_CALL):
+        Tseg = min(MAX_PACKETS_PER_CALL, T - lo)
+        g = interleave
+        if g is None:
+            g = next(gg for gg in (DEFAULT_INTERLEAVE, 2, 1) if Tseg % gg == 0)
+        run = _traversal_fn(
+            Tseg, bvh.capacity, flat, interpret, g,
+            False, order, leaf_cond, unroll,
+        )
+        sl = slice(lo * PACKET, (lo + Tseg) * PACKET)
+        outs.append(
+            run(
+                nodes, tris, origins[sl], dirs[sl],
+                None if t_init is None else t_init[sl],
+            )
+        )
+    if len(outs) == 1:
+        t, tri, u, v = outs[0]
+    else:
+        t, tri, u, v = (jnp.concatenate(parts) for parts in zip(*outs))
     return HitRecord(t=t, tri=tri, u=u, v=v)

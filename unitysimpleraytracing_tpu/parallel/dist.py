@@ -446,7 +446,9 @@ def render_hits_ring(
             gate = entry_t(o, d) < t_b  # early-out: box can't beat best
             o_eff = jnp.where(gate[:, None], o, miss_o[None, :])
             d_eff = jnp.where(gate[:, None], d, miss_d[None, :])
-            h = dispatch.trace_rays(scene_l, bvh, o_eff, d_eff, impl=impl)
+            h = dispatch.trace_rays(
+                scene_l, bvh, o_eff, d_eff, impl=impl, t_init=t_b
+            )
             win = gate & (h.t < t_b)
             tri = h.tri
             w = 1.0 - h.u - h.v

@@ -106,7 +106,12 @@ def trace_chunked(
     )
     for s in range(S):  # static unroll: one VMEM-sized kernel launch per chunk
         scene_s = _chunk_scene(cbvh.sscene, s, cap)
-        h = trace_rays(scene_s, _chunk_bvh(cbvh.bvhs, s, cap), origins, dirs, impl=impl)
+        # Later chunks prune against the best found so far (exact: a hit at
+        # or beyond best.t loses the strict-< fold anyway).
+        h = trace_rays(
+            scene_s, _chunk_bvh(cbvh.bvhs, s, cap), origins, dirs,
+            impl=impl, t_init=best.t,
+        )
         win = h.t < best.t  # ties → lowest Morton chunk
         gtri = cbvh.sscene.global_tri[s][h.tri]
         best = HitRecord(
