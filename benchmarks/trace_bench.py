@@ -40,6 +40,8 @@ def main() -> None:
                    help="also report while-loop steps per packet (slower run)")
     p.add_argument("--unroll", type=int, default=1,
                    help="DFS steps per while iteration (identical order)")
+    p.add_argument("--pop2", action="store_true",
+                   help="pop 2 nodes per iteration (one packed any-reduce)")
     args = p.parse_args()
 
     import jax
@@ -86,12 +88,13 @@ def main() -> None:
             order=args.order,
             leaf_cond=args.leaf_cond,
             unroll=args.unroll,
+            pop2=args.pop2,
         ).t
         s = measure(fn, iters=args.iters, reps=args.reps)
         rec = {
             "variant": f"interleave={g},flat={args.flat},"
                        f"order={args.order},cond={args.leaf_cond},"
-                       f"unroll={args.unroll}",
+                       f"unroll={args.unroll},pop2={args.pop2}",
             "mrays_per_s": round(R / s / 1e6, 3),
             "ms_per_frame": round(s * 1e3, 3),
         }

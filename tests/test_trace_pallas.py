@@ -78,6 +78,37 @@ def test_pallas_kernel_shared_edge_ties_bounded():
     np.testing.assert_allclose(t_g, t_r, rtol=_TIE_RTOL)
 
 
+def test_pop2_variant_parity():
+    """Pair-pop (2 nodes/iteration, one packed any-reduction) keeps the same
+    hit set; order changes stay within the tie bound."""
+    scene = rt.build_scene(rt.terrain_mesh(res=24, size=40.0, amplitude=6.0, seed=0))
+    bvh = rt.build_bvh(scene)
+    o, d = _rays(2048, seed=2)
+    ref = trace.traverse(scene, bvh, o, d)
+    got = trace_pallas.traverse_packets_pallas(
+        scene, bvh, o, d, interpret=True, pop2=True
+    )
+    _assert_hit_parity(got, ref)
+
+
+def test_t_init_culling_is_exact():
+    """Seeding the running best from a prior bound changes nothing: rays
+    re-traced with their own previous t as t_init return no new hits, and a
+    below-best bound suppresses the hit."""
+    scene = rt.build_scene(
+        rt.random_triangle_soup(300, seed=7, bound=5.0, tri_size=1.0)
+    )
+    bvh = rt.build_bvh(scene)
+    o, d = _rays(1024, seed=9)
+    ref = trace_pallas.traverse_packets_pallas(scene, bvh, o, d, interpret=True)
+    again = trace_pallas.traverse_packets_pallas(
+        scene, bvh, o, d, interpret=True, t_init=ref.t
+    )
+    # With t_init == its own best, every strict-< accept fails → t == t_init.
+    np.testing.assert_array_equal(np.asarray(again.t), np.asarray(ref.t))
+    assert not np.any(np.asarray(again.hit) & ~np.asarray(ref.hit))
+
+
 def test_pallas_parity_at_large_scene_extent():
     """The kernel's ``tmin < t_cur`` cull leans on the 1e-3 AABB inflation
     (MeshBufferContainer.cs:55-63) dominating slab rounding, an argument

@@ -43,8 +43,8 @@ def _kernel(x, out, carry):
     xb = x[0]  # (R, LANE) f32
     # Inclusive prefix along lanes: one MXU matmul with upper-tri ones.
     upper = (
-        jax.lax.broadcasted_iota(jnp.float32, (_LANE, _LANE), 0)
-        <= jax.lax.broadcasted_iota(jnp.float32, (_LANE, _LANE), 1)
+        jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
     ).astype(jnp.float32)
     incl = jnp.dot(xb, upper, preferred_element_type=jnp.float32)  # (R, LANE)
     excl = incl - xb

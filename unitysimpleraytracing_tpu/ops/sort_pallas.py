@@ -49,9 +49,11 @@ _NB = C.NUM_BUCKETS    # 256
 
 
 def _onehot_row(d_row):
-    """(LANE,) int32 digit vector → (LANE, NB) f32 one-hot matrix."""
-    dcol = d_row.reshape(_LANE, 1).astype(jnp.float32)
-    buckets = jax.lax.broadcasted_iota(jnp.float32, (1, _NB), 1)
+    """(LANE,) int32 digit vector → (LANE, NB) f32 one-hot matrix.
+
+    Iotas must be integer-typed (Mosaic rejects f32 tpu.iota)."""
+    dcol = d_row.reshape(_LANE, 1)
+    buckets = jax.lax.broadcasted_iota(jnp.int32, (1, _NB), 1)
     return (dcol == buckets).astype(jnp.float32)
 
 
@@ -73,8 +75,8 @@ def _rank_kernel(shift, keys, bases, out):
     # Inclusive prefix-count matmul operand: tri[a, b] = 1 iff a <= b, so
     # (tri^T @ oh) == column prefix counts; arranged as oh-left matmul below.
     tri = (
-        jax.lax.broadcasted_iota(jnp.float32, (_LANE, _LANE), 0)
-        >= jax.lax.broadcasted_iota(jnp.float32, (_LANE, _LANE), 1)
+        jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
+        >= jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
     ).astype(jnp.float32)  # lower-triangular ones (inclusive)
     base = bases[0]  # (1, NB) running per-bucket base for this block
     for r in range(_ROWS):

@@ -180,8 +180,12 @@ def _fetch(tab, k, count, flat):
 
 
 def _make_kernel(
-    flat, G=1, count_steps=False, order="axis", leaf_cond=False, unroll=1
+    flat, G=1, count_steps=False, order="axis", leaf_cond=False, unroll=1,
+    pop2=False,
 ):
+    assert not pop2 or (order == "axis" and not leaf_cond), (
+        "pop2 requires axis ordering and branch-free leaves"
+    )
     """Build the traversal kernel body.
 
     ``G`` packets are traversed INTERLEAVED inside one grid step: the while
@@ -382,11 +386,99 @@ def _make_kernel(
             sp = sp + jnp.where(both, 1, 0)
             return sp, t, tri, u, v
 
+        def step_pair(g, sp, t, tri, u, v):
+            """Pop TWO nodes per iteration; ONE packed reduction yields all
+            four any-bits, amortizing the ~120 ns reduce latency and the loop
+            tax over two nodes.  Traversal order becomes two interleaved DFS
+            lanes on one stack (exact — order never changes the hit set; ties
+            stay within the parity bound)."""
+            aliveA = sp > 0
+            spA = jnp.where(aliveA, sp - 1, sp)
+            nodeA = jnp.where(aliveA, stack[g, spA], 0)
+            aliveB = spA > 0
+            spB = jnp.where(aliveB, spA - 1, spA)
+            nodeB = jnp.where(aliveB, stack[g, spB], 0)
+
+            def half(node, alive):
+                (lx0, ly0, lz0, lx1, ly1, lz1,
+                 rx0, ry0, rz0, rx1, ry1, rz1, lf, rf, ff) = _fetch(
+                    nodes, node, 15, flat
+                )
+                hl, tl = slab(g, lx0, ly0, lz0, lx1, ly1, lz1, t)
+                hr, tr = slab(g, rx0, ry0, rz0, rx1, ry1, rz1, t)
+                return hl & alive, hr & alive, tl, tr, lf, rf, ff
+
+            hAl, hAr, tAl, tAr, Alf, Arf, Aff = half(nodeA, aliveA)
+            hBl, hBr, tBl, tBr, Blf, Brf, Bff = half(nodeB, aliveB)
+
+            # One cross-lane reduce for 4 any-bits: 8-bit fields sublane-sum
+            # (counts ≤ 8, no carry), squash each field to 1 bit, lane-sum
+            # (counts ≤ 128/field; int32 wrap is modular so the bit fields
+            # survive even when the top field hits 128).
+            packed = (
+                hAl.astype(jnp.int32)
+                + (hAr.astype(jnp.int32) << 8)
+                + (hBl.astype(jnp.int32) << 16)
+                + (hBr.astype(jnp.int32) << 24)
+            )
+            part = jnp.sum(packed, axis=0, keepdims=True)  # (1, LANE)
+            bits = (
+                ((part & 255) > 0).astype(jnp.int32)
+                + ((((part >> 8) & 255) > 0).astype(jnp.int32) << 8)
+                + ((((part >> 16) & 255) > 0).astype(jnp.int32) << 16)
+                + ((((part >> 24) & 255) > 0).astype(jnp.int32) << 24)
+            )
+            s = jnp.sum(bits)
+            anyAl = (s & 255) > 0
+            anyAr = ((s >> 8) & 255) > 0
+            anyBl = ((s >> 16) & 255) > 0
+            anyBr = ((s >> 24) & 255) > 0
+
+            def node_scalars(lf, rf, ff):
+                li = lf.astype(jnp.int32)
+                ri = rf.astype(jnp.int32)
+                fl = ff.astype(jnp.int32)
+                axis = fl >> 2
+                sx, sy, sz = sgn[g]
+                ln = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+                return li, ri, (fl & 1) == 1, (fl & 2) == 2, ln
+
+            Ali, Ari, Alleaf, Arleaf, lnA = node_scalars(Alf, Arf, Aff)
+            Bli, Bri, Blleaf, Brleaf, lnB = node_scalars(Blf, Brf, Bff)
+
+            t, tri, u, v = leaf_test(g, Ali, hAl & Alleaf, (t, tri, u, v))
+            t, tri, u, v = leaf_test(g, Ari, hAr & Arleaf, (t, tri, u, v))
+            t, tri, u, v = leaf_test(g, Bli, hBl & Blleaf, (t, tri, u, v))
+            t, tri, u, v = leaf_test(g, Bri, hBr & Brleaf, (t, tri, u, v))
+
+            # Push B's children first, then A's (A-near ends on top).
+            sp = spB
+            for (li, ri, lleaf, rleaf, ln, al, ar) in (
+                (Bli, Bri, Blleaf, Brleaf, lnB, anyBl, anyBr),
+                (Ali, Ari, Alleaf, Arleaf, lnA, anyAl, anyAr),
+            ):
+                push_l = al & ~lleaf
+                push_r = ar & ~rleaf
+                both = push_l & push_r
+                first = jnp.where(
+                    both,
+                    jnp.where(ln, ri, li),
+                    jnp.where(push_l, li, ri),
+                )
+                second = jnp.where(ln, li, ri)
+                stack[g, sp] = first
+                sp = sp + jnp.where(push_l | push_r, 1, 0)
+                stack[g, sp] = second
+                sp = sp + jnp.where(both, 1, 0)
+            return sp, t, tri, u, v
+
+        step_fn = step_pair if pop2 else step_one
+
         def body(carry):
             sps, ts, tris_, us, vs, nsteps = carry
             for _ in range(unroll):  # sequential: identical DFS order
                 outs = [
-                    step_one(g, sps[g], ts[g], tris_[g], us[g], vs[g])
+                    step_fn(g, sps[g], ts[g], tris_[g], us[g], vs[g])
                     for g in range(G)
                 ]
                 sps = tuple(o[0] for o in outs)
@@ -427,7 +519,7 @@ def _make_kernel(
 def _traversal_fn(
     T: int, cap: int, flat: bool, interpret: bool, G: int = 1,
     count_steps: bool = False, order: str = "axis", leaf_cond: bool = False,
-    unroll: int = 1,
+    unroll: int = 1, pop2: bool = False,
 ):
     """Build + cache the jitted kernel wrapper for a (packets, capacity) shape.
 
@@ -449,7 +541,7 @@ def _traversal_fn(
             pl.BlockSpec((T // G, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
         )
     call = pl.pallas_call(
-        _make_kernel(flat, G, count_steps, order, leaf_cond, unroll),
+        _make_kernel(flat, G, count_steps, order, leaf_cond, unroll, pop2),
         grid=(T // G,),
         in_specs=[
             pl.BlockSpec(tab_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -562,6 +654,7 @@ def traverse_packets_pallas(
     order: str = "axis",
     leaf_cond: bool = False,
     unroll: int = 1,
+    pop2: bool = False,
     t_init: jnp.ndarray | None = None,
 ) -> HitRecord:
     """Kernel-based nearest-hit traversal over (R, 3) rays.
@@ -596,7 +689,7 @@ def traverse_packets_pallas(
             g = next(gg for gg in (DEFAULT_INTERLEAVE, 2, 1) if Tseg % gg == 0)
         run = _traversal_fn(
             Tseg, bvh.capacity, flat, interpret, g,
-            False, order, leaf_cond, unroll,
+            False, order, leaf_cond, unroll, pop2,
         )
         sl = slice(lo * PACKET, (lo + Tseg) * PACKET)
         outs.append(
