@@ -16,12 +16,13 @@ Covered configs (BASELINE.md):
 - scene-parity: the reference's own demo scene (ExampleObject3, 12,800 tris)
   from its wired camera pose (Scene.unity:342-366).
 - build: LBVH ms at 65K AND ~1M tris; sort engines head-to-head (Gkeys/s).
-- roofline: measured ns per traversal step vs the kernel's MEASURED
-  component floor (benchmarks/kernel_probe.py on this chip: one
-  (8,128)->scalar reduction has ~120 ns latency and sits on the loop-carried
-  path — reduce -> push decision -> next pop; the ~33 scalar VMEM fetches
-  cost ~4.5 ns each in-kernel ≈ 150 ns; vector math overlaps).  Floor ≈
-  270 ns/step; the fraction reported is floor / measured.
+- roofline: measured ns per NODE VISIT vs the kernel's MEASURED component
+  floor (benchmarks/kernel_probe.py on this chip): the production kernel
+  pops 2 nodes per iteration with ONE packed any-reduction, so per node ≈
+  60 ns amortized reduce latency + ~33 scalar VMEM fetches at ~4.5 ns
+  ≈ 150 ns + stack/loop share ≈ 215 ns; vector math overlaps.  The
+  fraction reported is floor / measured (visit counts taken from the
+  single-pop counter variant — the same node set up to ordering effects).
 """
 from __future__ import annotations
 
@@ -36,8 +37,8 @@ TERRAIN_RES = 182        # 2*(res-1)^2 = 65,522 triangles (config 2)
 SPONZA_RES = 362         # 260,642 triangles (config 3 class)
 BIG_RES = 708            # 999,698 triangles (config 5 build bound)
 SORT_N = 1 << 20
-# Measured component floor of one traversal step (see module docstring).
-STEP_FLOOR_NS = 270.0
+# Measured component floor of one node visit (see module docstring).
+STEP_FLOOR_NS = 215.0
 
 
 def _note(msg):

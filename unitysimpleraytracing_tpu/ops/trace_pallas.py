@@ -654,7 +654,7 @@ def traverse_packets_pallas(
     order: str = "axis",
     leaf_cond: bool = False,
     unroll: int = 1,
-    pop2: bool = False,
+    pop2: bool = True,
     t_init: jnp.ndarray | None = None,
 ) -> HitRecord:
     """Kernel-based nearest-hit traversal over (R, 3) rays.
