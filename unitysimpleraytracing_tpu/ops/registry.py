@@ -15,6 +15,9 @@ Stages and their engines:
 - ``scan``:     "xla" (cumsum), "pallas" (single-kernel scan, ops/scan_pallas)
 - ``traverse``: "perray" (per-ray stacks), "packet" (XLA shared-stack),
                 "pallas" (SMEM-stack kernel, ops/trace_pallas)
+- ``exchange``: the multi-device ray-exchange strategies (parallel/dist):
+                "gather" (all_gather combine), "ring" (ppermute
+                circulation), "shuffle" (ragged all-to-all routing)
 """
 from __future__ import annotations
 
@@ -78,6 +81,12 @@ def _register_builtins() -> None:
     register("traverse", "perray", trace.traverse)
     register("traverse", "packet", trace_packet.traverse_packets)
     register("traverse", "pallas", trace_pallas.traverse_packets_pallas)
+
+    from unitysimpleraytracing_tpu.parallel import dist
+
+    register("exchange", "gather", dist.render_hits_sharded)
+    register("exchange", "ring", dist.render_hits_ring)
+    register("exchange", "shuffle", dist.render_hits_shuffle)
 
 
 _register_builtins()
