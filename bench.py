@@ -142,7 +142,7 @@ def main() -> None:
             eye=(210.0, 170.0, 260.0), target=(0.0, 0.0, 0.0),
             width=WIDTH, height=HEIGHT, fov_deg=60.0,
         )
-        cbvh = rt.build_bvh_chunked(big, chunk_capacity=524288)
+        cbvh = rt.build_bvh_chunked(big)
         s = measure(
             lambda: rt.render_hits_chunked(big, cbvh, bcam).t, iters=2, reps=4
         )

@@ -149,13 +149,13 @@ def test_prepare_tables_cache_engages_and_evicts():
     bvh = rt.build_bvh(scene)
     t1 = trace_pallas.prepare_tables(scene, bvh)
     t2 = trace_pallas.prepare_tables(scene, bvh)
-    assert t1[0] is t2[0] and t1[1] is t2[1], "cache miss on identical (scene, bvh)"
+    assert t1 is t2, "cache miss on identical (scene, bvh)"
     key = id(bvh)
     assert key in trace_pallas._TABLE_CACHE
     # A different scene with the same bvh must not serve the stale entry.
     scene2 = rt.build_scene(rt.cube_mesh(size=2.0))
     t3 = trace_pallas.prepare_tables(scene2, bvh)
-    assert t3[0] is not t1[0]
+    assert t3 is not t1
     del bvh
     gc.collect()
     assert key not in trace_pallas._TABLE_CACHE, "dead Bvh entry not evicted"

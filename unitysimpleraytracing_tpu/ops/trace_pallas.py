@@ -35,14 +35,15 @@ Per-step cost anatomy (measured on v5e): the loop is bound by scalar↔vector
 boundary crossings, not by VPU math — (a) the scalar fetch of the node
 record, (b) cross-lane reductions feeding push decisions.  Hence:
 
-- **Two table layouts.**  ``flat``: one record per (16-lane) row, fetched as
-  ``tab[k, c]`` with a static lane — the fastest scalar-load form Mosaic
-  emits (~90 ns/step cheaper than any dynamic-lane scheme).  Rows pad
-  16 → 128 lanes, so a record costs 512 B of VMEM; with the measured
-  128 MB/core VMEM (bench chip, v5e) both tables fit scenes ≤ ~96K tris.
-  ``packed``: 8 records per 128-lane row (the lane base made static by an
-  8-way ``lax.switch`` on ``k % 8``), 64 B/record, for scenes ≤ ~600K tris;
-  beyond that the chunked/sharded paths take over.
+- **One 32-slot record, two layouts.**  A record carries both child boxes,
+  packed index/leaf/axis metadata, AND the leaf children's triangle
+  vertices — no second table, one fetch locality domain.  ``flat``: one
+  record per row, fetched as ``tab[k, c]`` with a static lane — the fastest
+  scalar-load form Mosaic emits; rows pad 32 → 128 lanes (512 B/record),
+  scenes ≤ ~170K tris under the kernel's 100 MiB VMEM budget.  ``packed``:
+  4 records per 128-lane row (lane base made static by a 4-way
+  ``lax.switch`` on ``k % 4``), 128 B/record, scenes ≤ ~600K tris; beyond
+  that the chunked/sharded paths take over.
 - **Two reductions per step, not four.**  ``any(hit_l)``/``any(hit_r)`` come
   from ONE packed integer sum (hit_r weighted 2048; counts ≤ 1024 cannot
   collide), and the near-child vote is a single signed sum
@@ -77,45 +78,58 @@ DEFAULT_INTERLEAVE = 1
 MAX_PACKETS_PER_CALL = 512
 
 
-_SLOTS = 16          # f32 slots per packed record
-_PACK = 128 // _SLOTS  # 8 records per 128-lane row (packed layout)
+_SLOTS = 32          # f32 slots per record (boxes, meta, embedded leaf verts)
+_PACK = 128 // _SLOTS  # 4 records per 128-lane row (packed layout)
 
-# VMEM on the bench chip measures 128 MB/core (a (262144,16) f32 window fails
-# compile at "128.01M of 128.00M vmem"; (131072,16) compiles).  Flat records
-# cost 512 B × 2 tables; packed cost 64 B × 2 tables.
-FLAT_MAX_CAPACITY = 96_000
+# One record = both children's boxes + metadata + the leaf children's
+# triangle vertices — ONE table, one fetch locality domain.  VMEM: a flat
+# (cap, 32) table pads its lane dim to 128 → 512 B/record; the packed
+# (cap/4, 128) layout is dense → 128 B/record but needs a 4-way switch for
+# the lane base.  The kernel raises Mosaic's scoped-VMEM limit to 100 MiB
+# (v5e has 128 MiB/core), leaving ~10 MiB for the ray/output windows.
+FLAT_MAX_CAPACITY = 170_000
 PACKED_MAX_CAPACITY = 600_000
 
 
 @functools.partial(jax.jit, static_argnames=("flat",))
 def pack_tables(scene: Scene, bvh: Bvh, flat: bool = True):
-    """Flatten scene+BVH into the two kernel tables.
+    """Flatten scene+BVH into ONE kernel record table.
 
-    nodes slots: [lmin.xyz, lmax.xyz, rmin.xyz, rmax.xyz, left_idx, right_idx,
-        flags, 0] where the child boxes are the child NODE AABBs for internal
-        children and the child triangle's inflated AABB for leaf children
-        (pre-resolving the leaf indirection Raytracing.compute:156,172 AND the
-        leaf AABB pre-test box :91); *_idx is the child node id for internal
-        children and the TRIANGLE id (sorted_tri[leaf]) for leaf children;
-        flags bit0/bit1 = left/right child is leaf.  Indices/flags stored as
-        exact f32.
-    tris slots:  [a.xyz, b.xyz, c.xyz, 0*7]
+    Record slots (32 f32):
+      0-5   left child AABB (min.xyz, max.xyz)
+      6-11  right child AABB
+      12    lmeta = left_idx  + is_leaf<<20                 (exact f32 int)
+      13    rmeta = right_idx + is_leaf<<20 + split_axis<<21
+            (20-bit indices: every meta value stays < 2^24, the f32
+            exact-integer bound; kernel capacity is VMEM-bounded ≤ ~600K
+            anyway)
+      14-22 left-leaf triangle vertices a.xyz b.xyz c.xyz (0 if internal)
+      23-31 right-leaf triangle vertices
 
-    ``flat=True`` → (cap, 16) one record per row; ``flat=False`` → packed
-    (cap/8, 128), record k at row k//8, lanes (k%8)*16..+15.
+    Child boxes are the child NODE AABBs for internal children and the
+    triangle's inflated AABB for leaf children (pre-resolving the leaf
+    indirection Raytracing.compute:156,172 AND the leaf AABB pre-test box
+    :91); *_idx is the child node id for internal children and the TRIANGLE
+    id (sorted_tri[leaf]) for leaf children.  Embedding the leaf vertices
+    removes the second (triangle) table and its separate scalar fetches.
+
+    ``flat=True`` → (cap, 32) one record per row (fast static-lane fetch);
+    ``flat=False`` → packed (cap/4, 128), record k at row k//4, lane base
+    (k%4)*32 (4-way-switch fetch, 4x denser VMEM).
     """
     cap = bvh.capacity
     assert cap % _PACK == 0
+    assert cap < (1 << 20), "meta packing needs indices < 2^20 (f32-exact)"
 
     lc = jnp.clip(bvh.left, 0, cap - 1)
     rc = jnp.clip(bvh.right, 0, cap - 1)
     left_idx = jnp.where(bvh.left_is_leaf, bvh.sorted_tri[lc], lc)
     right_idx = jnp.where(bvh.right_is_leaf, bvh.sorted_tri[rc], rc)
-    # bits 0/1: left/right child is leaf; bits 2-3: split axis (ordering hint)
-    flags = (
-        bvh.left_is_leaf.astype(jnp.int32)
-        | (bvh.right_is_leaf.astype(jnp.int32) << 1)
-        | (jnp.clip(bvh.split_axis, 0, 2) << 2)
+    lmeta = left_idx + (bvh.left_is_leaf.astype(jnp.int32) << 20)
+    rmeta = (
+        right_idx
+        + (bvh.right_is_leaf.astype(jnp.int32) << 20)
+        + (jnp.clip(bvh.split_axis, 0, 2) << 21)
     )
 
     def child_box(child, is_leaf, tri_of_child):
@@ -130,26 +144,31 @@ def pack_tables(scene: Scene, bvh: Bvh, flat: bool = True):
     lmin, lmax = child_box(lc, bvh.left_is_leaf, left_idx)
     rmin, rmax = child_box(rc, bvh.right_is_leaf, right_idx)
 
-    nodes = jnp.zeros((cap, _SLOTS), jnp.float32)
-    nodes = nodes.at[:, 0:3].set(lmin)
-    nodes = nodes.at[:, 3:6].set(lmax)
-    nodes = nodes.at[:, 6:9].set(rmin)
-    nodes = nodes.at[:, 9:12].set(rmax)
-    nodes = nodes.at[:, 12].set(left_idx.astype(jnp.float32))
-    nodes = nodes.at[:, 13].set(right_idx.astype(jnp.float32))
-    nodes = nodes.at[:, 14].set(flags.astype(jnp.float32))
-
     t = scene.triangles
-    tris = jnp.zeros((cap, _SLOTS), jnp.float32)
-    tris = tris.at[:, 0:3].set(t.a)
-    tris = tris.at[:, 3:6].set(t.b)
-    tris = tris.at[:, 6:9].set(t.c)
+
+    def leaf_verts(is_leaf, tri):
+        m = is_leaf[:, None]
+        return (
+            jnp.where(m, t.a[tri], 0.0),
+            jnp.where(m, t.b[tri], 0.0),
+            jnp.where(m, t.c[tri], 0.0),
+        )
+
+    la, lb, lcv = leaf_verts(bvh.left_is_leaf, left_idx)
+    ra, rb, rcv = leaf_verts(bvh.right_is_leaf, right_idx)
+
+    nodes = jnp.concatenate(
+        [
+            lmin, lmax, rmin, rmax,
+            lmeta.astype(jnp.float32)[:, None],
+            rmeta.astype(jnp.float32)[:, None],
+            la, lb, lcv, ra, rb, rcv,
+        ],
+        axis=1,
+    )  # (cap, 32)
     if flat:
-        return nodes, tris
-    return (
-        nodes.reshape(cap // _PACK, 128),
-        tris.reshape(cap // _PACK, 128),
-    )
+        return nodes
+    return nodes.reshape(cap // _PACK, 128)
 
 
 def _d3d_min(a, b):
@@ -163,8 +182,9 @@ def _d3d_max(a, b):
 def _fetch(tab, k, count, flat):
     """Read ``count`` scalar slots of record ``k``.
 
-    flat: dynamic row, static lane — single scalar load each.
-    packed: dynamic sublane row, lane base made static via an 8-way switch.
+    flat: dynamic row, static lane — single scalar load each (the fastest
+    form Mosaic emits).  packed: dynamic row, lane base made static via a
+    4-way switch on ``k % 4``.
     """
     if flat:
         return tuple(tab[k, c] for c in range(count))
@@ -199,7 +219,7 @@ def _make_kernel(
     image tiles.  Per-packet results are bit-identical to G=1.
     """
 
-    def _kernel(nodes, tris, rays, out, *rest):
+    def _kernel(nodes, rays, out, *rest):
         if count_steps:
             steps_out, stack = rest
         else:
@@ -250,16 +270,18 @@ def _make_kernel(
             )
             return (tmax > tmin) & (tmax > 0) & (tmin < t_cur), tmin
 
-        def leaf_test(g, tri_idx, gate, state):
+        def leaf_test(g, tri_idx, verts, gate, state):
             """Möller–Trumbore with the reference's acceptance quirks
             (det∈(−1e-8,1e-8) reject, no t>0 test, strict < keep;
             Raytracing.compute:37-73,95-99).  ``gate`` is the leaf-box slab
             mask — the reference's CheckTriangle AABB pre-test, already
-            evaluated on the child box."""
+            evaluated on the child box.  ``verts`` are the 9 vertex scalars
+            embedded in the node record (zeros for an internal child →
+            det == 0 → reject, so an ungated call is harmless)."""
             ox, oy, oz = origin[g]
             dx, dy, dz = direc[g]
             t_cur, tri_cur, u_cur, v_cur = state
-            (ax, ay, az, bx, by, bz, cx, cy, cz) = _fetch(tris, tri_idx, 9, flat)
+            (ax, ay, az, bx, by, bz, cx, cy, cz) = verts
             e1x, e1y, e1z = bx - ax, by - ay, bz - az
             e2x, e2y, e2z = cx - ax, cy - ay, cz - az
             # pvec = dir × e2 (scalars broadcast against ray registers)
@@ -299,72 +321,72 @@ def _make_kernel(
                 live = live | (sps[g] > 0)
             return live
 
+        def unpack_meta(g, lm, rm):
+            """Record meta slots → indices, leaf bits, near-child bool."""
+            lmi = lm.astype(jnp.int32)
+            rmi = rm.astype(jnp.int32)
+            left_idx = lmi & ((1 << 20) - 1)
+            right_idx = rmi & ((1 << 20) - 1)
+            lleaf = (lmi >> 20) == 1
+            rleaf = ((rmi >> 20) & 1) == 1
+            if order == "axis":
+                axis = rmi >> 21
+                sx, sy, sz = sgn[g]
+                l_near = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+            else:  # "fixed" (reference blind order); "vote" is handled inline
+                l_near = jnp.bool_(True)
+            return left_idx, right_idx, lleaf, rleaf, l_near
+
         def step_one(g, sp, t, tri, u, v):
             alive = sp > 0
             sp = jnp.where(alive, sp - 1, 0)
             node = jnp.where(alive, stack[g, sp], 0)
 
+            rec = _fetch(nodes, node, 32, flat)
             (lx0, ly0, lz0, lx1, ly1, lz1,
-             rx0, ry0, rz0, rx1, ry1, rz1, lf, rf, ff) = _fetch(
-                nodes, node, 15, flat
-            )
+             rx0, ry0, rz0, rx1, ry1, rz1, lf, rf) = rec[:14]
             hit_l, tmin_l = slab(g, lx0, ly0, lz0, lx1, ly1, lz1, t)
             hit_r, tmin_r = slab(g, rx0, ry0, rz0, rx1, ry1, rz1, t)
             hit_l = hit_l & alive
             hit_r = hit_r & alive
 
-            # ONE packed reduction for both any() votes (counts ≤ 1024 < 2048),
-            # one signed reduction for the near-child majority vote.
+            # ONE packed reduction for both any() votes (counts ≤ 1024 < 2048).
             counts = jnp.sum(
                 hit_l.astype(jnp.int32) + (hit_r.astype(jnp.int32) << 11)
             )
             any_l = (counts & 2047) > 0
             any_r = (counts >> 11) > 0
 
-            left_idx = lf.astype(jnp.int32)
-            right_idx = rf.astype(jnp.int32)
-            flags = ff.astype(jnp.int32)
-            lleaf = (flags & 1) == 1
-            rleaf = (flags & 2) == 2
-
+            left_idx, right_idx, lleaf, rleaf, l_near = unpack_meta(g, lf, rf)
             if order == "vote":
                 both_mask = hit_l & hit_r
                 vote = jnp.sum(
                     jnp.where(both_mask, jnp.where(tmin_l <= tmin_r, 1, -1), 0)
                 )
                 l_near = vote >= 0
-            elif order == "axis":
-                # Left child = lower Morton range = lower coordinate along
-                # the split axis → near when the packet travels positive.
-                axis = flags >> 2
-                sx, sy, sz = sgn[g]
-                l_near = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
-            else:  # "fixed": reference push order (blind DFS)
-                l_near = jnp.bool_(True)
 
             # Leaf children: intersect in place, gated by their own box mask.
             if leaf_cond:
                 t, tri, u, v = jax.lax.cond(
                     any_l & lleaf,
-                    lambda s: leaf_test(g, left_idx, hit_l, s),
+                    lambda s: leaf_test(g, left_idx, rec[14:23], hit_l, s),
                     lambda s: s,
                     (t, tri, u, v),
                 )
                 t, tri, u, v = jax.lax.cond(
                     any_r & rleaf,
-                    lambda s: leaf_test(g, right_idx, hit_r, s),
+                    lambda s: leaf_test(g, right_idx, rec[23:32], hit_r, s),
                     lambda s: s,
                     (t, tri, u, v),
                 )
             else:
                 # Branch-free: always run both Möller–Trumbore tests, gated
-                # by mask (trades ~2x vector math + 18 scalar loads per step
-                # for zero scf.if regions).
+                # by mask (measured faster than lax.cond regions).
                 t, tri, u, v = leaf_test(
-                    g, left_idx, hit_l & lleaf & any_l, (t, tri, u, v)
+                    g, left_idx, rec[14:23], hit_l & lleaf & any_l, (t, tri, u, v)
                 )
                 t, tri, u, v = leaf_test(
-                    g, right_idx, hit_r & rleaf & any_r, (t, tri, u, v)
+                    g, right_idx, rec[23:32], hit_r & rleaf & any_r, (t, tri, u, v)
                 )
 
             # Internal children: push far-then-near so the near subtree is
@@ -400,16 +422,15 @@ def _make_kernel(
             nodeB = jnp.where(aliveB, stack[g, spB], 0)
 
             def half(node, alive):
+                rec = _fetch(nodes, node, 32, flat)
                 (lx0, ly0, lz0, lx1, ly1, lz1,
-                 rx0, ry0, rz0, rx1, ry1, rz1, lf, rf, ff) = _fetch(
-                    nodes, node, 15, flat
-                )
-                hl, tl = slab(g, lx0, ly0, lz0, lx1, ly1, lz1, t)
-                hr, tr = slab(g, rx0, ry0, rz0, rx1, ry1, rz1, t)
-                return hl & alive, hr & alive, tl, tr, lf, rf, ff
+                 rx0, ry0, rz0, rx1, ry1, rz1) = rec[:12]
+                hl, _ = slab(g, lx0, ly0, lz0, lx1, ly1, lz1, t)
+                hr, _ = slab(g, rx0, ry0, rz0, rx1, ry1, rz1, t)
+                return hl & alive, hr & alive, rec
 
-            hAl, hAr, tAl, tAr, Alf, Arf, Aff = half(nodeA, aliveA)
-            hBl, hBr, tBl, tBr, Blf, Brf, Bff = half(nodeB, aliveB)
+            hAl, hAr, recA = half(nodeA, aliveA)
+            hBl, hBr, recB = half(nodeB, aliveB)
 
             # One cross-lane reduce for 4 any-bits: 8-bit fields sublane-sum
             # (counts ≤ 8, no carry), squash each field to 1 bit, lane-sum
@@ -434,22 +455,13 @@ def _make_kernel(
             anyBl = ((s >> 16) & 255) > 0
             anyBr = ((s >> 24) & 255) > 0
 
-            def node_scalars(lf, rf, ff):
-                li = lf.astype(jnp.int32)
-                ri = rf.astype(jnp.int32)
-                fl = ff.astype(jnp.int32)
-                axis = fl >> 2
-                sx, sy, sz = sgn[g]
-                ln = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
-                return li, ri, (fl & 1) == 1, (fl & 2) == 2, ln
+            Ali, Ari, Alleaf, Arleaf, lnA = unpack_meta(g, recA[12], recA[13])
+            Bli, Bri, Blleaf, Brleaf, lnB = unpack_meta(g, recB[12], recB[13])
 
-            Ali, Ari, Alleaf, Arleaf, lnA = node_scalars(Alf, Arf, Aff)
-            Bli, Bri, Blleaf, Brleaf, lnB = node_scalars(Blf, Brf, Bff)
-
-            t, tri, u, v = leaf_test(g, Ali, hAl & Alleaf, (t, tri, u, v))
-            t, tri, u, v = leaf_test(g, Ari, hAr & Arleaf, (t, tri, u, v))
-            t, tri, u, v = leaf_test(g, Bli, hBl & Blleaf, (t, tri, u, v))
-            t, tri, u, v = leaf_test(g, Bri, hBr & Brleaf, (t, tri, u, v))
+            t, tri, u, v = leaf_test(g, Ali, recA[14:23], hAl & Alleaf, (t, tri, u, v))
+            t, tri, u, v = leaf_test(g, Ari, recA[23:32], hAr & Arleaf, (t, tri, u, v))
+            t, tri, u, v = leaf_test(g, Bli, recB[14:23], hBl & Blleaf, (t, tri, u, v))
+            t, tri, u, v = leaf_test(g, Bri, recB[23:32], hBr & Brleaf, (t, tri, u, v))
 
             # Push B's children first, then A's (A-near ends on top).
             sp = spB
@@ -545,7 +557,6 @@ def _traversal_fn(
         grid=(T // G,),
         in_specs=[
             pl.BlockSpec(tab_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(tab_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((G, 8, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs if count_steps else out_specs[0],
@@ -561,7 +572,7 @@ def _traversal_fn(
     )
 
     @jax.jit
-    def run(nodes, tris, origins, dirs, t_init=None):
+    def run(nodes, origins, dirs, t_init=None):
         R = T * PACKET
         t_row = (
             jnp.full((1, R), C.MAX_FLOAT, jnp.float32)
@@ -572,7 +583,7 @@ def _traversal_fn(
             [origins.T, dirs.T, t_row, jnp.zeros((1, R), jnp.float32)], axis=0
         )  # (8, R)
         rays = rays.reshape(8, T, PACKET).transpose(1, 0, 2)  # (T, 8, PACKET)
-        res = call(nodes, tris, rays)
+        res = call(nodes, rays)
         out, steps = res if count_steps else (res, None)
         out = out.transpose(1, 0, 2).reshape(4, R)
         tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)
@@ -594,11 +605,11 @@ def traversal_step_counts(
     flat = bvh.capacity <= FLAT_MAX_CAPACITY
     if interleave is None:
         interleave = next(g for g in (DEFAULT_INTERLEAVE, 2, 1) if T % g == 0)
-    nodes, tris = prepare_tables(scene, bvh, flat=flat)
+    nodes = prepare_tables(scene, bvh, flat=flat)
     run = _traversal_fn(
         T, bvh.capacity, flat, interpret, interleave, True, "axis", False
     )
-    t, tri, u, v, steps = run(nodes, tris, origins, dirs)
+    t, tri, u, v, steps = run(nodes, origins, dirs)
     return HitRecord(t=t, tri=tri, u=u, v=v), steps
 
 
@@ -676,7 +687,7 @@ def traverse_packets_pallas(
     T = R // PACKET
     if flat is None:
         flat = bvh.capacity <= FLAT_MAX_CAPACITY
-    nodes, tris = tables if tables is not None else prepare_tables(scene, bvh, flat=flat)
+    nodes = tables if tables is not None else prepare_tables(scene, bvh, flat=flat)
 
     # Bounded launches: XLA stages a pallas_call's whole output in scoped
     # VMEM (observed OOM at 1980 packets / 32 MB out), so large batches are
@@ -694,7 +705,7 @@ def traverse_packets_pallas(
         sl = slice(lo * PACKET, (lo + Tseg) * PACKET)
         outs.append(
             run(
-                nodes, tris, origins[sl], dirs[sl],
+                nodes, origins[sl], dirs[sl],
                 None if t_init is None else t_init[sl],
             )
         )

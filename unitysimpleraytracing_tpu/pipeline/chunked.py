@@ -22,16 +22,22 @@ import jax.numpy as jnp
 
 from unitysimpleraytracing_tpu import constants as C
 from unitysimpleraytracing_tpu.core.types import Bvh, HitRecord, Scene, Triangles
+from unitysimpleraytracing_tpu.ops import trace_pallas
 from unitysimpleraytracing_tpu.ops.dispatch import trace_rays
 from unitysimpleraytracing_tpu.parallel import dist
 
 
 @flax.struct.dataclass
 class ChunkedBvh:
-    """Morton-range chunked scene + per-chunk LBVHs (stacked on axis 0)."""
+    """Morton-range chunked scene + per-chunk LBVHs (stacked on axis 0).
+
+    ``tables`` carries the pre-packed traversal kernel tables per chunk —
+    packing a ~500K-entry table costs ~10 gather passes, which must happen
+    once at build time, not per frame inside the trace jit."""
 
     sscene: dist.ShardedScene
     bvhs: Bvh  # every field stacked (S, ...)
+    tables: jnp.ndarray  # (S, ...) pre-packed kernel tables per chunk
 
     @property
     def num_chunks(self) -> int:
@@ -43,19 +49,31 @@ class ChunkedBvh:
 
 
 @functools.partial(jax.jit, static_argnames=("chunk_capacity",))
-def build_bvh_chunked(scene: Scene, chunk_capacity: int = 65536) -> ChunkedBvh:
+def build_bvh_chunked(scene: Scene, chunk_capacity: int = 163840) -> ChunkedBvh:
     """Partition + build one LBVH per chunk (vmapped over chunks).
 
     Fully jittable: the count-balanced partition runs on device
     (dist._partition_scene_device), so the 1M-triangle flow never leaves
-    the chip."""
+    the chip.  The default chunk capacity keeps every chunk in the FLAT
+    table layout (fast static-lane fetch) — measured 1.4x faster at 1M tris
+    than two 512K packed chunks despite the extra kernel launches."""
     n = scene.count
     num_chunks = max(-(-n // chunk_capacity), 1)
     sscene = dist.partition_scene(scene, num_chunks)
     bvhs = jax.vmap(dist._local_build)(
         sscene.morton, sscene.aabb_min, sscene.aabb_max, sscene.counts
     )
-    return ChunkedBvh(sscene=sscene, bvhs=bvhs)
+    cap = sscene.shard_capacity
+    tables = jnp.stack(
+        [
+            trace_pallas.pack_tables(
+                _chunk_scene(sscene, s, cap), _chunk_bvh(bvhs, s, cap),
+                flat=cap <= trace_pallas.FLAT_MAX_CAPACITY,
+            )
+            for s in range(num_chunks)
+        ]
+    )
+    return ChunkedBvh(sscene=sscene, bvhs=bvhs, tables=tables)
 
 
 def _chunk_scene(ss: dist.ShardedScene, s: int, cap: int) -> Scene:
@@ -107,10 +125,11 @@ def trace_chunked(
     for s in range(S):  # static unroll: one VMEM-sized kernel launch per chunk
         scene_s = _chunk_scene(cbvh.sscene, s, cap)
         # Later chunks prune against the best found so far (exact: a hit at
-        # or beyond best.t loses the strict-< fold anyway).
+        # or beyond best.t loses the strict-< fold anyway); tables come
+        # pre-packed from build time.
         h = trace_rays(
             scene_s, _chunk_bvh(cbvh.bvhs, s, cap), origins, dirs,
-            impl=impl, t_init=best.t,
+            impl=impl, t_init=best.t, tables=cbvh.tables[s],
         )
         win = h.t < best.t  # ties → lowest Morton chunk
         gtri = cbvh.sscene.global_tri[s][h.tri]
@@ -127,15 +146,25 @@ def render_hits_chunked(
     scene: Scene, cbvh: ChunkedBvh, cam, impl: str = "auto"
 ) -> HitRecord:
     """Primary-ray trace of a chunked scene in tile-major packet order
-    (mirrors ops/dispatch.camera_trace); ``scene`` is the original unchunked
-    scene, used only for shape/shading downstream."""
+    (mirrors ops/dispatch.camera_trace — reshape/transpose reordering, no
+    permutation gathers); ``scene`` is the original unchunked scene, used
+    only for shape/shading downstream."""
     from unitysimpleraytracing_tpu.core.camera import generate_rays
-    from unitysimpleraytracing_tpu.ops import trace_packet
+    from unitysimpleraytracing_tpu.ops.dispatch import _row_major, _tile_major
 
     origins, dirs = generate_rays(cam)
     h, w = cam.height, cam.width
     if h % 32 == 0 and w % 32 == 0:
-        perm, inv = trace_packet.tiled_ray_order(h, w, 32)
-        hits = trace_chunked(cbvh, origins[perm], dirs[perm], impl=impl)
-        return HitRecord(t=hits.t[inv], tri=hits.tri[inv], u=hits.u[inv], v=hits.v[inv])
+        hits = trace_chunked(
+            cbvh,
+            _tile_major(origins, h, w, 32),
+            _tile_major(dirs, h, w, 32),
+            impl=impl,
+        )
+        return HitRecord(
+            t=_row_major(hits.t, h, w, 32),
+            tri=_row_major(hits.tri, h, w, 32),
+            u=_row_major(hits.u, h, w, 32),
+            v=_row_major(hits.v, h, w, 32),
+        )
     return trace_chunked(cbvh, origins, dirs, impl=impl)
