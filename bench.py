@@ -18,9 +18,11 @@ Covered configs (BASELINE.md):
 - build: LBVH ms at 65K AND ~1M tris; sort engines head-to-head (Gkeys/s).
 - roofline: measured ns per NODE VISIT vs the kernel's MEASURED component
   floor (benchmarks/kernel_probe.py on this chip): the production kernel
-  pops 2 nodes per iteration with ONE packed any-reduction, so per node ≈
-  60 ns amortized reduce latency + ~33 scalar VMEM fetches at ~4.5 ns
-  ≈ 150 ns + stack/loop share ≈ 215 ns; vector math overlaps.  The
+  pops 8 nodes per iteration with FOUR pipelined packed any-reductions, so
+  per node ≈ 15 ns amortized reduce latency (~120 ns chain / 8) + ~32
+  scalar VMEM fetches at ~3 ns issue (they partially pipeline; 4.5 ns
+  un-pipelined) ≈ 96 ns + ~7 ns loop/stack share ≈ 120 ns; vector math
+  overlaps.  The
   fraction reported is floor / measured (visit counts taken from the
   single-pop counter variant — the same node set up to ordering effects).
 """
@@ -38,7 +40,7 @@ SPONZA_RES = 362         # 260,642 triangles (config 3 class)
 BIG_RES = 708            # 999,698 triangles (config 5 build bound)
 SORT_N = 1 << 20
 # Measured component floor of one node visit (see module docstring).
-STEP_FLOOR_NS = 215.0
+STEP_FLOOR_NS = 120.0
 
 
 def _note(msg):

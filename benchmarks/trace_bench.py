@@ -40,8 +40,14 @@ def main() -> None:
                    help="also report while-loop steps per packet (slower run)")
     p.add_argument("--unroll", type=int, default=1,
                    help="DFS steps per while iteration (identical order)")
-    p.add_argument("--pop2", action="store_true",
-                   help="pop 2 nodes per iteration (one packed any-reduce)")
+    p.add_argument("--popn", type=int, default=2, choices=[1, 2, 4, 8, 16],
+                   help="nodes popped per iteration (packed any-reduces)")
+    p.add_argument("--rows", type=int, nargs="+", default=[8],
+                   help="packet heights in 128-lane sublanes (rays per "
+                        "packet = rows*128)")
+    p.add_argument("--gated-verts", action="store_true",
+                   help="skip the 18 leaf-vertex scalar fetches behind a "
+                        "lax.cond on the record's leaf bits")
     args = p.parse_args()
 
     import jax
@@ -78,37 +84,42 @@ def main() -> None:
         file=sys.stderr, flush=True,
     )
 
-    for g in args.interleave:
-        if (R // trace_pallas.PACKET) % g:
-            print(f"[trace_bench] skip G={g} (does not divide)", file=sys.stderr)
-            continue
-        fn = lambda: trace_pallas.traverse_packets_pallas(
-            scene, bvh, o, d, interpret=interp, tables=tables,
-            flat=flat, interleave=g,
-            order=args.order,
-            leaf_cond=args.leaf_cond,
-            unroll=args.unroll,
-            pop2=args.pop2,
-        ).t
-        s = measure(fn, iters=args.iters, reps=args.reps)
-        rec = {
-            "variant": f"interleave={g},flat={args.flat},"
-                       f"order={args.order},cond={args.leaf_cond},"
-                       f"unroll={args.unroll},pop2={args.pop2}",
-            "mrays_per_s": round(R / s / 1e6, 3),
-            "ms_per_frame": round(s * 1e3, 3),
-        }
-        if args.count_steps and g == 1:
-            import numpy as np
+    for rows in args.rows:
+        packet = rows * 128
+        for g in args.interleave:
+            if (R // packet) % g:
+                print(f"[trace_bench] skip G={g} (does not divide)", file=sys.stderr)
+                continue
+            fn = lambda: trace_pallas.traverse_packets_pallas(
+                scene, bvh, o, d, interpret=interp, tables=tables,
+                flat=flat, interleave=g,
+                order=args.order,
+                leaf_cond=args.leaf_cond,
+                unroll=args.unroll,
+                popn=args.popn,
+                rows=rows,
+                gated_verts=args.gated_verts,
+            ).t
+            s = measure(fn, iters=args.iters, reps=args.reps)
+            rec = {
+                "variant": f"rows={rows},interleave={g},flat={args.flat},"
+                           f"order={args.order},cond={args.leaf_cond},"
+                           f"unroll={args.unroll},popn={args.popn},"
+                           f"gv={args.gated_verts}",
+                "mrays_per_s": round(R / s / 1e6, 3),
+                "ms_per_frame": round(s * 1e3, 3),
+            }
+            if args.count_steps and g == 1:
+                import numpy as np
 
-            _, steps = trace_pallas.traversal_step_counts(
-                scene, bvh, o, d, interpret=interp, interleave=1
-            )
-            steps = np.asarray(steps).ravel()
-            rec["steps_total"] = int(steps.sum())
-            rec["steps_mean_per_packet"] = round(float(steps.mean()), 1)
-            rec["ns_per_step"] = round(s * 1e9 / steps.sum(), 1)
-        print(json.dumps(rec), flush=True)
+                _, steps = trace_pallas.traversal_step_counts(
+                    scene, bvh, o, d, interpret=interp, interleave=1, rows=rows
+                )
+                steps = np.asarray(steps).ravel()
+                rec["steps_total"] = int(steps.sum())
+                rec["steps_mean_per_packet"] = round(float(steps.mean()), 1)
+                rec["ns_per_step"] = round(s * 1e9 / steps.sum(), 1)
+            print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

@@ -44,10 +44,18 @@ record, (b) cross-lane reductions feeding push decisions.  Hence:
   4 records per 128-lane row (lane base made static by a 4-way
   ``lax.switch`` on ``k % 4``), 128 B/record, scenes ≤ ~600K tris; beyond
   that the chunked/sharded paths take over.
-- **Two reductions per step, not four.**  ``any(hit_l)``/``any(hit_r)`` come
-  from ONE packed integer sum (hit_r weighted 2048; counts ≤ 1024 cannot
-  collide), and the near-child vote is a single signed sum
-  (+1 where tmin_l<=tmin_r, −1 otherwise, over rays hitting both).
+- **Multi-pop with packed any-reductions.**  The production step pops EIGHT
+  nodes (``popn=8``) and derives all 16 child any() bits from FOUR packed
+  integer reductions whose chains pipeline (measured: the later chains'
+  ~120 ns latency hides under the first), amortizing reduce latency and
+  loop tax to ~15/~7 ns per node.  Near-child ordering comes from the
+  build-time split axis (2 bits in the meta slot) against a once-per-packet
+  direction-sign vote — zero per-step reductions for ordering.  Measured on
+  v5e (65K tris, 512², flat): popn=1 ~10, popn=2 21.8, popn=4 30.9,
+  popn=8 34.7, popn=16 28.9 (register spills) Mrays/s.  Gating the 18
+  leaf-vertex fetches behind a scalar lax.cond was measured WORSE (14.0 —
+  the branch breaks Mosaic's load pipelining); taller packets (rows=16/32)
+  trade fewer union steps for slower steps, net ~0/−15%.
 
 Child/triangle indices are stored as exact f32 (capacity < 2^24) so no
 bitcasting is needed in-kernel.
@@ -66,8 +74,13 @@ from jax.experimental.pallas import tpu as pltpu
 from unitysimpleraytracing_tpu import constants as C
 from unitysimpleraytracing_tpu.core.types import Bvh, HitRecord, Scene
 
-PACKET = 1024  # rays per packet: one (8, 128) f32 register per component
 _SUB, _LANE = 8, 128
+# Default rays per packet: one (8, 128) f32 register per component.  The
+# kernel is parametric in the packet HEIGHT (``rows`` sublanes of 128 lanes):
+# a taller packet amortizes the step's scalar/sync cost (node fetch +
+# cross-lane reduce, the measured bound) over more rays, at the price of the
+# union DFS of a larger coherent tile.
+PACKET = _SUB * _LANE
 # Packets co-traversed per grid step.  MEASURED on v5e (65K tris, 512²):
 # G=1: 9.98 Mrays/s, G=2: 8.4, G=4: 6.8, G=8: 5.0 — Mosaic does not overlap
 # the independent chains and register pressure grows, so interleaving stays
@@ -179,33 +192,57 @@ def _d3d_max(a, b):
     return jnp.where(jnp.isnan(a), b, jnp.where(jnp.isnan(b), a, jnp.maximum(a, b)))
 
 
-def _fetch(tab, k, count, flat):
-    """Read ``count`` scalar slots of record ``k``.
+def _fetch_range(tab, k, lo, hi, flat):
+    """Read scalar slots [lo, hi) of record ``k``.
 
     flat: dynamic row, static lane — single scalar load each (the fastest
     form Mosaic emits).  packed: dynamic row, lane base made static via a
     4-way switch on ``k % 4``.
     """
     if flat:
-        return tuple(tab[k, c] for c in range(count))
+        return tuple(tab[k, c] for c in range(lo, hi))
     r = k // _PACK
 
     def make(j):
         def branch(_):
-            return tuple(tab[r, j * _SLOTS + c] for c in range(count))
+            return tuple(tab[r, j * _SLOTS + c] for c in range(lo, hi))
 
         return branch
 
     return jax.lax.switch(k % _PACK, [make(j) for j in range(_PACK)], None)
 
 
+def _fetch(tab, k, count, flat):
+    return _fetch_range(tab, k, 0, count, flat)
+
+
+def _fetch_verts(tab, k, side, leaf, flat, gated):
+    """The 9 leaf-vertex slots of record ``k``'s left (side=0) / right child.
+
+    ``gated=True`` skips the 9 scalar loads for internal children behind a
+    scalar ``lax.cond`` on the (already-fetched) leaf bit — the fetch chain
+    is the measured per-step bound, and most visited records near the tree
+    top have no leaf child.  The false branch returns zeros, whose leaf test
+    rejects via det == 0, so downstream masking is unchanged.
+    """
+    lo = 14 + 9 * side
+    if not gated:
+        return _fetch_range(tab, k, lo, lo + 9, flat)
+    return jax.lax.cond(
+        leaf,
+        lambda: _fetch_range(tab, k, lo, lo + 9, flat),
+        lambda: tuple(jnp.zeros((), jnp.float32) for _ in range(9)),
+    )
+
+
 def _make_kernel(
     flat, G=1, count_steps=False, order="axis", leaf_cond=False, unroll=1,
-    pop2=False,
+    popn=1, rows=_SUB, gated_verts=False,
 ):
-    assert not pop2 or (order == "axis" and not leaf_cond), (
-        "pop2 requires axis ordering and branch-free leaves"
+    assert popn == 1 or (order == "axis" and not leaf_cond), (
+        "popn>1 requires axis ordering and branch-free leaves"
     )
+    assert popn in (1, 2, 4, 8, 16)
     """Build the traversal kernel body.
 
     ``G`` packets are traversed INTERLEAVED inside one grid step: the while
@@ -224,7 +261,8 @@ def _make_kernel(
             steps_out, stack = rest
         else:
             (stack,) = rest
-        shape = (_SUB, _LANE)
+        shape = (rows, _LANE)
+        packet = rows * _LANE
 
         def rowg(g, k):
             return rays[g, k].reshape(shape)
@@ -342,20 +380,22 @@ def _make_kernel(
             sp = jnp.where(alive, sp - 1, 0)
             node = jnp.where(alive, stack[g, sp], 0)
 
-            rec = _fetch(nodes, node, 32, flat)
+            rec = _fetch(nodes, node, 14, flat)
             (lx0, ly0, lz0, lx1, ly1, lz1,
-             rx0, ry0, rz0, rx1, ry1, rz1, lf, rf) = rec[:14]
+             rx0, ry0, rz0, rx1, ry1, rz1, lf, rf) = rec
             hit_l, tmin_l = slab(g, lx0, ly0, lz0, lx1, ly1, lz1, t)
             hit_r, tmin_r = slab(g, rx0, ry0, rz0, rx1, ry1, rz1, t)
             hit_l = hit_l & alive
             hit_r = hit_r & alive
 
-            # ONE packed reduction for both any() votes (counts ≤ 1024 < 2048).
+            # ONE packed reduction for both any() votes (counts ≤ packet size,
+            # so a field of bit_length(packet) bits cannot carry into hit_r's).
+            shift = packet.bit_length()
             counts = jnp.sum(
-                hit_l.astype(jnp.int32) + (hit_r.astype(jnp.int32) << 11)
+                hit_l.astype(jnp.int32) + (hit_r.astype(jnp.int32) << shift)
             )
-            any_l = (counts & 2047) > 0
-            any_r = (counts >> 11) > 0
+            any_l = (counts & ((1 << shift) - 1)) > 0
+            any_r = (counts >> shift) > 0
 
             left_idx, right_idx, lleaf, rleaf, l_near = unpack_meta(g, lf, rf)
             if order == "vote":
@@ -365,17 +405,20 @@ def _make_kernel(
                 )
                 l_near = vote >= 0
 
+            lverts = _fetch_verts(nodes, node, 0, lleaf, flat, gated_verts)
+            rverts = _fetch_verts(nodes, node, 1, rleaf, flat, gated_verts)
+
             # Leaf children: intersect in place, gated by their own box mask.
             if leaf_cond:
                 t, tri, u, v = jax.lax.cond(
                     any_l & lleaf,
-                    lambda s: leaf_test(g, left_idx, rec[14:23], hit_l, s),
+                    lambda s: leaf_test(g, left_idx, lverts, hit_l, s),
                     lambda s: s,
                     (t, tri, u, v),
                 )
                 t, tri, u, v = jax.lax.cond(
                     any_r & rleaf,
-                    lambda s: leaf_test(g, right_idx, rec[23:32], hit_r, s),
+                    lambda s: leaf_test(g, right_idx, rverts, hit_r, s),
                     lambda s: s,
                     (t, tri, u, v),
                 )
@@ -383,10 +426,10 @@ def _make_kernel(
                 # Branch-free: always run both Möller–Trumbore tests, gated
                 # by mask (measured faster than lax.cond regions).
                 t, tri, u, v = leaf_test(
-                    g, left_idx, rec[14:23], hit_l & lleaf & any_l, (t, tri, u, v)
+                    g, left_idx, lverts, hit_l & lleaf & any_l, (t, tri, u, v)
                 )
                 t, tri, u, v = leaf_test(
-                    g, right_idx, rec[23:32], hit_r & rleaf & any_r, (t, tri, u, v)
+                    g, right_idx, rverts, hit_r & rleaf & any_r, (t, tri, u, v)
                 )
 
             # Internal children: push far-then-near so the near subtree is
@@ -408,83 +451,88 @@ def _make_kernel(
             sp = sp + jnp.where(both, 1, 0)
             return sp, t, tri, u, v
 
-        def step_pair(g, sp, t, tri, u, v):
-            """Pop TWO nodes per iteration; ONE packed reduction yields all
-            four any-bits, amortizing the ~120 ns reduce latency and the loop
-            tax over two nodes.  Traversal order becomes two interleaved DFS
-            lanes on one stack (exact — order never changes the hit set; ties
-            stay within the parity bound)."""
-            aliveA = sp > 0
-            spA = jnp.where(aliveA, sp - 1, sp)
-            nodeA = jnp.where(aliveA, stack[g, spA], 0)
-            aliveB = spA > 0
-            spB = jnp.where(aliveB, spA - 1, spA)
-            nodeB = jnp.where(aliveB, stack[g, spB], 0)
+        def step_multi(n):
+            """Pop ``n`` nodes per iteration; ⌈n/2⌉ packed reductions (which
+            pipeline — the second's latency hides under the first, measured
+            on v5e) yield all ``2n`` any-bits, amortizing the ~120 ns reduce
+            latency and the loop tax over ``n`` nodes.  Traversal order
+            becomes ``n`` interleaved DFS lanes on one stack (exact — order
+            never changes the hit set; ties stay within the parity bound)."""
 
-            def half(node, alive):
-                rec = _fetch(nodes, node, 32, flat)
-                (lx0, ly0, lz0, lx1, ly1, lz1,
-                 rx0, ry0, rz0, rx1, ry1, rz1) = rec[:12]
-                hl, _ = slab(g, lx0, ly0, lz0, lx1, ly1, lz1, t)
-                hr, _ = slab(g, rx0, ry0, rz0, rx1, ry1, rz1, t)
-                return hl & alive, hr & alive, rec
+            def step(g, sp, t, tri, u, v):
+                # Pop up to n nodes (dead pops read node 0, masked by alive).
+                alives, nodes_k = [], []
+                for _ in range(n):
+                    alive = sp > 0
+                    sp = jnp.where(alive, sp - 1, sp)
+                    nodes_k.append(jnp.where(alive, stack[g, sp], 0))
+                    alives.append(alive)
 
-            hAl, hAr, recA = half(nodeA, aliveA)
-            hBl, hBr, recB = half(nodeB, aliveB)
+                recs, masks = [], []
+                for i in range(n):
+                    rec = _fetch(nodes, nodes_k[i], 14, flat)
+                    hl, _ = slab(g, *rec[:6], t)
+                    hr, _ = slab(g, *rec[6:12], t)
+                    masks.append(hl & alives[i])
+                    masks.append(hr & alives[i])
+                    recs.append(rec)
 
-            # One cross-lane reduce for 4 any-bits: 8-bit fields sublane-sum
-            # (counts ≤ 8, no carry), squash each field to 1 bit, lane-sum
-            # (counts ≤ 128/field; int32 wrap is modular so the bit fields
-            # survive even when the top field hits 128).
-            packed = (
-                hAl.astype(jnp.int32)
-                + (hAr.astype(jnp.int32) << 8)
-                + (hBl.astype(jnp.int32) << 16)
-                + (hBr.astype(jnp.int32) << 24)
-            )
-            part = jnp.sum(packed, axis=0, keepdims=True)  # (1, LANE)
-            bits = (
-                ((part & 255) > 0).astype(jnp.int32)
-                + ((((part >> 8) & 255) > 0).astype(jnp.int32) << 8)
-                + ((((part >> 16) & 255) > 0).astype(jnp.int32) << 16)
-                + ((((part >> 24) & 255) > 0).astype(jnp.int32) << 24)
-            )
-            s = jnp.sum(bits)
-            anyAl = (s & 255) > 0
-            anyAr = ((s >> 8) & 255) > 0
-            anyBl = ((s >> 16) & 255) > 0
-            anyBr = ((s >> 24) & 255) > 0
+                # Packed cross-lane reduces, 4 any-bits each: 8-bit fields
+                # sublane-sum (counts ≤ rows ≤ 32, no carry), squash each
+                # field to 1 bit, lane-sum (counts ≤ 128/field; int32 wrap is
+                # modular so the bit fields survive even when the top field
+                # hits 128).  Independent reduce chains pipeline.
+                anys = []
+                for base in range(0, 2 * n, 4):
+                    grp = masks[base:base + 4]
+                    packed = grp[0].astype(jnp.int32)
+                    for j in range(1, len(grp)):
+                        packed = packed + (grp[j].astype(jnp.int32) << (8 * j))
+                    part = jnp.sum(packed, axis=0, keepdims=True)  # (1, LANE)
+                    bits = ((part & 255) > 0).astype(jnp.int32)
+                    for j in range(1, len(grp)):
+                        bits = bits + (
+                            (((part >> (8 * j)) & 255) > 0).astype(jnp.int32)
+                            << (8 * j)
+                        )
+                    s = jnp.sum(bits)
+                    for j in range(len(grp)):
+                        anys.append(((s >> (8 * j)) & 255) > 0)
 
-            Ali, Ari, Alleaf, Arleaf, lnA = unpack_meta(g, recA[12], recA[13])
-            Bli, Bri, Blleaf, Brleaf, lnB = unpack_meta(g, recB[12], recB[13])
+                metas = [unpack_meta(g, rec[12], rec[13]) for rec in recs]
+                for i in range(n):
+                    li, ri, lleaf, rleaf, _ = metas[i]
+                    vl = _fetch_verts(nodes, nodes_k[i], 0, lleaf, flat, gated_verts)
+                    vr = _fetch_verts(nodes, nodes_k[i], 1, rleaf, flat, gated_verts)
+                    t, tri, u, v = leaf_test(
+                        g, li, vl, masks[2 * i] & lleaf, (t, tri, u, v)
+                    )
+                    t, tri, u, v = leaf_test(
+                        g, ri, vr, masks[2 * i + 1] & rleaf, (t, tri, u, v)
+                    )
 
-            t, tri, u, v = leaf_test(g, Ali, recA[14:23], hAl & Alleaf, (t, tri, u, v))
-            t, tri, u, v = leaf_test(g, Ari, recA[23:32], hAr & Arleaf, (t, tri, u, v))
-            t, tri, u, v = leaf_test(g, Bli, recB[14:23], hBl & Blleaf, (t, tri, u, v))
-            t, tri, u, v = leaf_test(g, Bri, recB[23:32], hBr & Brleaf, (t, tri, u, v))
+                # Push in reverse pop order (the first pop's near child ends
+                # topmost, preserving near-first progression).
+                for i in reversed(range(n)):
+                    li, ri, lleaf, rleaf, ln = metas[i]
+                    push_l = anys[2 * i] & ~lleaf
+                    push_r = anys[2 * i + 1] & ~rleaf
+                    both = push_l & push_r
+                    first = jnp.where(
+                        both,
+                        jnp.where(ln, ri, li),
+                        jnp.where(push_l, li, ri),
+                    )
+                    second = jnp.where(ln, li, ri)
+                    stack[g, sp] = first
+                    sp = sp + jnp.where(push_l | push_r, 1, 0)
+                    stack[g, sp] = second
+                    sp = sp + jnp.where(both, 1, 0)
+                return sp, t, tri, u, v
 
-            # Push B's children first, then A's (A-near ends on top).
-            sp = spB
-            for (li, ri, lleaf, rleaf, ln, al, ar) in (
-                (Bli, Bri, Blleaf, Brleaf, lnB, anyBl, anyBr),
-                (Ali, Ari, Alleaf, Arleaf, lnA, anyAl, anyAr),
-            ):
-                push_l = al & ~lleaf
-                push_r = ar & ~rleaf
-                both = push_l & push_r
-                first = jnp.where(
-                    both,
-                    jnp.where(ln, ri, li),
-                    jnp.where(push_l, li, ri),
-                )
-                second = jnp.where(ln, li, ri)
-                stack[g, sp] = first
-                sp = sp + jnp.where(push_l | push_r, 1, 0)
-                stack[g, sp] = second
-                sp = sp + jnp.where(both, 1, 0)
-            return sp, t, tri, u, v
+            return step
 
-        step_fn = step_pair if pop2 else step_one
+        step_fn = step_one if popn == 1 else step_multi(popn)
 
         def body(carry):
             sps, ts, tris_, us, vs, nsteps = carry
@@ -519,10 +567,10 @@ def _make_kernel(
             steps_out[pl.program_id(0), 0] = nsteps
 
         for g in range(G):
-            out[g, 0] = ts[g].reshape(PACKET)
-            out[g, 1] = pltpu.bitcast(tris_[g], jnp.float32).reshape(PACKET)
-            out[g, 2] = us[g].reshape(PACKET)
-            out[g, 3] = vs[g].reshape(PACKET)
+            out[g, 0] = ts[g].reshape(packet)
+            out[g, 1] = pltpu.bitcast(tris_[g], jnp.float32).reshape(packet)
+            out[g, 2] = us[g].reshape(packet)
+            out[g, 3] = vs[g].reshape(packet)
 
     return _kernel
 
@@ -531,19 +579,22 @@ def _make_kernel(
 def _traversal_fn(
     T: int, cap: int, flat: bool, interpret: bool, G: int = 1,
     count_steps: bool = False, order: str = "axis", leaf_cond: bool = False,
-    unroll: int = 1, pop2: bool = False,
+    unroll: int = 1, popn: int = 1, rows: int = _SUB,
+    gated_verts: bool = False,
 ):
     """Build + cache the jitted kernel wrapper for a (packets, capacity) shape.
 
     ``G`` = packets interleaved per grid step (ILP over independent DFS
-    chains); must divide T.  ``count_steps`` adds a per-grid-step while-loop
+    chains); must divide T.  ``rows`` = packet height in 128-lane sublanes
+    (packet = rows*128 rays).  ``count_steps`` adds a per-grid-step while-loop
     iteration count output (profiling/roofline accounting)."""
 
     assert T % G == 0
+    packet = rows * _LANE
     tab_shape = (cap, _SLOTS) if flat else (cap // _PACK, 128)
-    out_shape = [jax.ShapeDtypeStruct((T, 4, PACKET), jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((T, 4, packet), jnp.float32)]
     out_specs = [
-        pl.BlockSpec((G, 4, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((G, 4, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     ]
     if count_steps:
         # SMEM outputs need whole-array blocks on TPU; each grid step writes
@@ -553,15 +604,22 @@ def _traversal_fn(
             pl.BlockSpec((T // G, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
         )
     call = pl.pallas_call(
-        _make_kernel(flat, G, count_steps, order, leaf_cond, unroll, pop2),
+        _make_kernel(
+            flat, G, count_steps, order, leaf_cond, unroll, popn, rows,
+            gated_verts,
+        ),
         grid=(T // G,),
         in_specs=[
             pl.BlockSpec(tab_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 8, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 8, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs if count_steps else out_specs[0],
         out_shape=out_shape if count_steps else out_shape[0],
-        scratch_shapes=[pltpu.SMEM((G, C.TRAVERSAL_STACK_DEPTH), jnp.int32)],
+        # popn interleaves that many DFS lanes on one stack, so give the
+        # scratch popn x the single-DFS depth bound (SMEM cost is trivial).
+        scratch_shapes=[
+            pltpu.SMEM((G, C.TRAVERSAL_STACK_DEPTH * max(popn, 1)), jnp.int32)
+        ],
         # The default scoped-VMEM budget is 16 MiB; the packed tables for
         # 96K-600K-triangle scenes need up to ~77 MiB (measured OOM at 260K
         # without this).  v5e has 128 MiB/core.
@@ -573,7 +631,7 @@ def _traversal_fn(
 
     @jax.jit
     def run(nodes, origins, dirs, t_init=None):
-        R = T * PACKET
+        R = T * packet
         t_row = (
             jnp.full((1, R), C.MAX_FLOAT, jnp.float32)
             if t_init is None
@@ -582,7 +640,7 @@ def _traversal_fn(
         rays = jnp.concatenate(
             [origins.T, dirs.T, t_row, jnp.zeros((1, R), jnp.float32)], axis=0
         )  # (8, R)
-        rays = rays.reshape(8, T, PACKET).transpose(1, 0, 2)  # (T, 8, PACKET)
+        rays = rays.reshape(8, T, packet).transpose(1, 0, 2)  # (T, 8, packet)
         res = call(nodes, rays)
         out, steps = res if count_steps else (res, None)
         out = out.transpose(1, 0, 2).reshape(4, R)
@@ -596,18 +654,20 @@ def _traversal_fn(
 
 def traversal_step_counts(
     scene: Scene, bvh: Bvh, origins, dirs,
-    interpret: bool = False, interleave: int | None = None,
+    interpret: bool = False, interleave: int | None = None, rows: int = _SUB,
 ):
     """While-loop steps per grid step (profiling): returns (hits, steps)."""
     R = origins.shape[0]
-    assert R % PACKET == 0
-    T = R // PACKET
+    packet = rows * _LANE
+    assert R % packet == 0
+    T = R // packet
     flat = bvh.capacity <= FLAT_MAX_CAPACITY
     if interleave is None:
         interleave = next(g for g in (DEFAULT_INTERLEAVE, 2, 1) if T % g == 0)
     nodes = prepare_tables(scene, bvh, flat=flat)
     run = _traversal_fn(
-        T, bvh.capacity, flat, interpret, interleave, True, "axis", False
+        T, bvh.capacity, flat, interpret, interleave, True, "axis", False,
+        rows=rows,
     )
     t, tri, u, v, steps = run(nodes, origins, dirs)
     return HitRecord(t=t, tri=tri, u=u, v=v), steps
@@ -665,7 +725,9 @@ def traverse_packets_pallas(
     order: str = "axis",
     leaf_cond: bool = False,
     unroll: int = 1,
-    pop2: bool = True,
+    popn: int = 8,
+    rows: int = _SUB,
+    gated_verts: bool = False,
     t_init: jnp.ndarray | None = None,
 ) -> HitRecord:
     """Kernel-based nearest-hit traversal over (R, 3) rays.
@@ -674,7 +736,7 @@ def traverse_packets_pallas(
     or beyond it are pruned AND rejected exactly as if a previous traversal
     had already found a hit there (cross-chunk / ring-hop culling).
 
-    R must be a multiple of PACKET (1024); order rays coherently
+    R must be a multiple of the packet size ``rows*128``; order rays coherently
     (`trace_packet.tiled_ray_order`).  Hit-compatible with `trace.traverse`
     up to exact-t ties (traversal order is near-child-first here; the strict-<
     keep makes every non-tied result identical).  ``tables`` may carry the
@@ -683,26 +745,28 @@ def traverse_packets_pallas(
     small scenes this way).
     """
     R = origins.shape[0]
-    assert R % PACKET == 0, f"{R} rays not divisible by {PACKET}"
-    T = R // PACKET
+    packet = rows * _LANE
+    assert R % packet == 0, f"{R} rays not divisible by {packet}"
+    T = R // packet
     if flat is None:
         flat = bvh.capacity <= FLAT_MAX_CAPACITY
     nodes = tables if tables is not None else prepare_tables(scene, bvh, flat=flat)
 
     # Bounded launches: XLA stages a pallas_call's whole output in scoped
     # VMEM (observed OOM at 1980 packets / 32 MB out), so large batches are
-    # split into ≤MAX_PACKETS_PER_CALL-packet kernel calls (8 MB out each).
+    # split into kernel calls whose output window stays ≤ 8 MB.
+    max_packets = max(1, MAX_PACKETS_PER_CALL * _SUB // rows)
     outs = []
-    for lo in range(0, T, MAX_PACKETS_PER_CALL):
-        Tseg = min(MAX_PACKETS_PER_CALL, T - lo)
+    for lo in range(0, T, max_packets):
+        Tseg = min(max_packets, T - lo)
         g = interleave
         if g is None:
             g = next(gg for gg in (DEFAULT_INTERLEAVE, 2, 1) if Tseg % gg == 0)
         run = _traversal_fn(
             Tseg, bvh.capacity, flat, interpret, g,
-            False, order, leaf_cond, unroll, pop2,
+            False, order, leaf_cond, unroll, popn, rows, gated_verts,
         )
-        sl = slice(lo * PACKET, (lo + Tseg) * PACKET)
+        sl = slice(lo * packet, (lo + Tseg) * packet)
         outs.append(
             run(
                 nodes, origins[sl], dirs[sl],

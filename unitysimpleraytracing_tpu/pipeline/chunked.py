@@ -9,8 +9,9 @@ streaming table-sized working sets through VMEM as successive kernel launches
 instead of randomly gathering from HBM.  The reference has no analog (it is
 hard-capped at 524 288 triangles, Constants.cs:6).
 
-Tie semantics: equal-t hits resolve to the lowest chunk (lowest Morton
-range), like the distributed all-gather combine; within a chunk, DFS order.
+Tie semantics: equal-t hits resolve to the chunk traced first (chunks are
+scheduled near-first from the ray origin, see trace_chunked); within a
+chunk, DFS order.  Same bounded exact-tie class as the distributed combines.
 """
 from __future__ import annotations
 
@@ -113,9 +114,27 @@ def trace_chunked(
     dirs: jnp.ndarray,
     impl: str = "auto",
 ) -> HitRecord:
-    """Nearest hit over all chunks; ``tri`` is the ORIGINAL scene triangle id."""
+    """Nearest hit over all chunks; ``tri`` is the ORIGINAL scene triangle id.
+
+    Chunks are traced NEAR-FIRST (by distance from the mean ray origin to
+    each chunk root AABB, a traced argsort — no recompile when the camera
+    moves): the running-best ``t_init`` then prunes most of the far chunks'
+    DFS at the root, which is what makes streaming S chunks cost much less
+    than S full traversals.  Exactness is unaffected (a pruned candidate can
+    never win the strict-< fold); only EXACT cross-chunk t-ties resolve to
+    the nearer chunk instead of the lower Morton range — the same bounded
+    tie class as the distributed combines (parallel/dist.py).
+    """
     S, cap = cbvh.num_chunks, cbvh.capacity
     R = origins.shape[0]
+    # Distance from the representative origin to each chunk's root box
+    # (camera rays share one origin; for mixed batches the mean is only a
+    # scheduling heuristic — results are exact for any order).
+    eye = jnp.mean(origins, axis=0)
+    roots_min = cbvh.bvhs.node_aabb_min[:, 0]
+    roots_max = cbvh.bvhs.node_aabb_max[:, 0]
+    closest = jnp.clip(eye, roots_min, roots_max)
+    perm = jnp.argsort(jnp.sum((closest - eye) ** 2, axis=1))
     best = HitRecord(
         t=jnp.full((R,), C.MAX_FLOAT, jnp.float32),
         tri=jnp.zeros((R,), jnp.int32),
@@ -123,16 +142,20 @@ def trace_chunked(
         v=jnp.zeros((R,), jnp.float32),
     )
     for s in range(S):  # static unroll: one VMEM-sized kernel launch per chunk
-        scene_s = _chunk_scene(cbvh.sscene, s, cap)
+        idx = perm[s]
+        scene_s = _chunk_scene(cbvh.sscene, idx, cap)
         # Later chunks prune against the best found so far (exact: a hit at
         # or beyond best.t loses the strict-< fold anyway); tables come
-        # pre-packed from build time.
+        # pre-packed from build time.  The dynamic chunk gathers (tables row,
+        # global_tri row) cost ~100 µs of HBM traffic against the ~ms kernel;
+        # the unused scene_s payload gathers are dead-code-eliminated on the
+        # pallas path (the kernel reads only ``tables``).
         h = trace_rays(
-            scene_s, _chunk_bvh(cbvh.bvhs, s, cap), origins, dirs,
-            impl=impl, t_init=best.t, tables=cbvh.tables[s],
+            scene_s, _chunk_bvh(cbvh.bvhs, idx, cap), origins, dirs,
+            impl=impl, t_init=best.t, tables=cbvh.tables[idx],
         )
-        win = h.t < best.t  # ties → lowest Morton chunk
-        gtri = cbvh.sscene.global_tri[s][h.tri]
+        win = h.t < best.t  # ties → earlier-traced (nearer) chunk
+        gtri = cbvh.sscene.global_tri[idx][h.tri]
         best = HitRecord(
             t=jnp.where(win, h.t, best.t),
             tri=jnp.where(win, gtri, best.tri),
