@@ -28,7 +28,9 @@ def main() -> None:
     p.add_argument("--platform", choices=["tpu", "cpu"], default=None)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--reps", type=int, default=8)
-    p.add_argument("--flat", choices=["auto", "flat", "packed"], default="auto")
+    p.add_argument("--flat", choices=["auto", "flat", "half", "packed"],
+                   default="auto",
+                   help="record layout: 1/2/4 records per row")
     p.add_argument("--order", choices=["axis", "vote", "fixed"], default="axis",
                    help="near-child ordering: build-time split axis (default, "
                         "zero per-step reductions), per-step tmin vote, or "
@@ -76,8 +78,8 @@ def main() -> None:
     d = _tile_major(d, cam.height, cam.width, 32)
     R = o.shape[0]
 
-    flat = None if args.flat == "auto" else (args.flat == "flat")
-    tables = trace_pallas.prepare_tables(scene, bvh, flat=flat)
+    pack = {"auto": None, "flat": 1, "half": 2, "packed": 4}[args.flat]
+    tables = trace_pallas.prepare_tables(scene, bvh, pack=pack)
     interp = jax.default_backend() == "cpu"
     print(
         f"[trace_bench] n_tris={scene.count} rays={R} device={jax.devices()[0]}",
@@ -92,7 +94,7 @@ def main() -> None:
                 continue
             fn = lambda: trace_pallas.traverse_packets_pallas(
                 scene, bvh, o, d, interpret=interp, tables=tables,
-                flat=flat, interleave=g,
+                pack=pack, interleave=g,
                 order=args.order,
                 leaf_cond=args.leaf_cond,
                 unroll=args.unroll,

@@ -78,15 +78,17 @@ def test_pallas_kernel_shared_edge_ties_bounded():
     np.testing.assert_allclose(t_g, t_r, rtol=_TIE_RTOL)
 
 
-def test_popn_variant_parity():
-    """Pair-pop (2 nodes/iteration, one packed any-reduction) keeps the same
-    hit set; order changes stay within the tie bound."""
+@pytest.mark.parametrize("popn", [2, 8])
+def test_popn_variant_parity(popn):
+    """Multi-pop (popn nodes/iteration, packed any-reductions — popn=8 is
+    the production default) keeps the same hit set; order changes stay
+    within the tie bound."""
     scene = rt.build_scene(rt.terrain_mesh(res=24, size=40.0, amplitude=6.0, seed=0))
     bvh = rt.build_bvh(scene)
     o, d = _rays(2048, seed=2)
     ref = trace.traverse(scene, bvh, o, d)
     got = trace_pallas.traverse_packets_pallas(
-        scene, bvh, o, d, interpret=True, popn=4
+        scene, bvh, o, d, interpret=True, popn=popn
     )
     _assert_hit_parity(got, ref)
 

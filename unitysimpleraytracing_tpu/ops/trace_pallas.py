@@ -35,15 +35,16 @@ Per-step cost anatomy (measured on v5e): the loop is bound by scalar↔vector
 boundary crossings, not by VPU math — (a) the scalar fetch of the node
 record, (b) cross-lane reductions feeding push decisions.  Hence:
 
-- **One 32-slot record, two layouts.**  A record carries both child boxes,
-  packed index/leaf/axis metadata, AND the leaf children's triangle
-  vertices — no second table, one fetch locality domain.  ``flat``: one
-  record per row, fetched as ``tab[k, c]`` with a static lane — the fastest
-  scalar-load form Mosaic emits; rows pad 32 → 128 lanes (512 B/record),
-  scenes ≤ ~170K tris under the kernel's 100 MiB VMEM budget.  ``packed``:
-  4 records per 128-lane row (lane base made static by a 4-way
-  ``lax.switch`` on ``k % 4``), 128 B/record, scenes ≤ ~600K tris; beyond
-  that the chunked/sharded paths take over.
+- **One 32-slot record, three layouts** (``pack`` = records per row).  A
+  record carries both child boxes, packed index/leaf/axis metadata, AND the
+  leaf children's triangle vertices — no second table, one fetch locality
+  domain.  ``pack=1``: one record per row, fetched as ``tab[k, c]`` with a
+  static lane — the fastest scalar-load form Mosaic emits; rows pad
+  32 → 128 lanes (512 B/record), scenes ≤ ~170K tris under the kernel's
+  100 MiB VMEM budget.  ``pack=2``/``pack=4``: 2/4 records per row (lane
+  base made static by a pack-way ``lax.switch`` on ``k % pack``), 256/128
+  B/record, scenes ≤ ~340K/~600K tris; beyond that the chunked/sharded
+  paths take over.
 - **Multi-pop with packed any-reductions.**  The production step pops EIGHT
   nodes (``popn=8``) and derives all 16 child any() bits from FOUR packed
   integer reductions whose chains pipeline (measured: the later chains'
@@ -100,12 +101,24 @@ _PACK = 128 // _SLOTS  # 4 records per 128-lane row (packed layout)
 # (cap/4, 128) layout is dense → 128 B/record but needs a 4-way switch for
 # the lane base.  The kernel raises Mosaic's scoped-VMEM limit to 100 MiB
 # (v5e has 128 MiB/core), leaving ~10 MiB for the ray/output windows.
-FLAT_MAX_CAPACITY = 170_000
-PACKED_MAX_CAPACITY = 600_000
+FLAT_MAX_CAPACITY = 170_000    # pack=1: 512 B/record
+HALF_MAX_CAPACITY = 340_000    # pack=2: 256 B/record, 2-way switch fetch
+PACKED_MAX_CAPACITY = 600_000  # pack=4: 128 B/record, 4-way switch fetch
 
 
-@functools.partial(jax.jit, static_argnames=("flat",))
-def pack_tables(scene: Scene, bvh: Bvh, flat: bool = True):
+def auto_pack(capacity: int) -> int:
+    """Records-per-row layout for a capacity: densest that still fits the
+    kernel's 100 MiB VMEM budget, preferring cheaper fetch forms (pack=1
+    single scalar loads > pack=2 2-way switch > pack=4 4-way switch)."""
+    if capacity <= FLAT_MAX_CAPACITY:
+        return 1
+    if capacity <= HALF_MAX_CAPACITY:
+        return 2
+    return 4
+
+
+@functools.partial(jax.jit, static_argnames=("pack",))
+def pack_tables(scene: Scene, bvh: Bvh, pack: int = 1):
     """Flatten scene+BVH into ONE kernel record table.
 
     Record slots (32 f32):
@@ -126,12 +139,12 @@ def pack_tables(scene: Scene, bvh: Bvh, flat: bool = True):
     id (sorted_tri[leaf]) for leaf children.  Embedding the leaf vertices
     removes the second (triangle) table and its separate scalar fetches.
 
-    ``flat=True`` → (cap, 32) one record per row (fast static-lane fetch);
-    ``flat=False`` → packed (cap/4, 128), record k at row k//4, lane base
-    (k%4)*32 (4-way-switch fetch, 4x denser VMEM).
+    ``pack`` = records per row: 1 → (cap, 32), one record per row (fast
+    static-lane fetch); 2/4 → (cap/pack, pack*32), record k at row k//pack,
+    lane base (k%pack)*32 (pack-way-switch fetch, pack-times denser VMEM).
     """
     cap = bvh.capacity
-    assert cap % _PACK == 0
+    assert pack in (1, 2, 4) and cap % pack == 0
     assert cap < (1 << 20), "meta packing needs indices < 2^20 (f32-exact)"
 
     lc = jnp.clip(bvh.left, 0, cap - 1)
@@ -179,9 +192,9 @@ def pack_tables(scene: Scene, bvh: Bvh, flat: bool = True):
         ],
         axis=1,
     )  # (cap, 32)
-    if flat:
+    if pack == 1:
         return nodes
-    return nodes.reshape(cap // _PACK, 128)
+    return nodes.reshape(cap // pack, pack * _SLOTS)
 
 
 def _d3d_min(a, b):
@@ -192,16 +205,16 @@ def _d3d_max(a, b):
     return jnp.where(jnp.isnan(a), b, jnp.where(jnp.isnan(b), a, jnp.maximum(a, b)))
 
 
-def _fetch_range(tab, k, lo, hi, flat):
+def _fetch_range(tab, k, lo, hi, pack):
     """Read scalar slots [lo, hi) of record ``k``.
 
-    flat: dynamic row, static lane — single scalar load each (the fastest
-    form Mosaic emits).  packed: dynamic row, lane base made static via a
-    4-way switch on ``k % 4``.
+    pack=1: dynamic row, static lane — single scalar load each (the fastest
+    form Mosaic emits).  pack=2/4: dynamic row, lane base made static via a
+    pack-way switch on ``k % pack``.
     """
-    if flat:
+    if pack == 1:
         return tuple(tab[k, c] for c in range(lo, hi))
-    r = k // _PACK
+    r = k // pack
 
     def make(j):
         def branch(_):
@@ -209,14 +222,14 @@ def _fetch_range(tab, k, lo, hi, flat):
 
         return branch
 
-    return jax.lax.switch(k % _PACK, [make(j) for j in range(_PACK)], None)
+    return jax.lax.switch(k % pack, [make(j) for j in range(pack)], None)
 
 
-def _fetch(tab, k, count, flat):
-    return _fetch_range(tab, k, 0, count, flat)
+def _fetch(tab, k, count, pack):
+    return _fetch_range(tab, k, 0, count, pack)
 
 
-def _fetch_verts(tab, k, side, leaf, flat, gated):
+def _fetch_verts(tab, k, side, leaf, pack, gated):
     """The 9 leaf-vertex slots of record ``k``'s left (side=0) / right child.
 
     ``gated=True`` skips the 9 scalar loads for internal children behind a
@@ -227,16 +240,16 @@ def _fetch_verts(tab, k, side, leaf, flat, gated):
     """
     lo = 14 + 9 * side
     if not gated:
-        return _fetch_range(tab, k, lo, lo + 9, flat)
+        return _fetch_range(tab, k, lo, lo + 9, pack)
     return jax.lax.cond(
         leaf,
-        lambda: _fetch_range(tab, k, lo, lo + 9, flat),
+        lambda: _fetch_range(tab, k, lo, lo + 9, pack),
         lambda: tuple(jnp.zeros((), jnp.float32) for _ in range(9)),
     )
 
 
 def _make_kernel(
-    flat, G=1, count_steps=False, order="axis", leaf_cond=False, unroll=1,
+    pack, G=1, count_steps=False, order="axis", leaf_cond=False, unroll=1,
     popn=1, rows=_SUB, gated_verts=False,
 ):
     assert popn == 1 or (order == "axis" and not leaf_cond), (
@@ -380,9 +393,14 @@ def _make_kernel(
             sp = jnp.where(alive, sp - 1, 0)
             node = jnp.where(alive, stack[g, sp], 0)
 
-            rec = _fetch(nodes, node, 14, flat)
+            # pack>1 fetches switch on k%pack — ONE switch covering all 32
+            # slots beats three (14+9+9): the switch itself serializes.
+            # pack=1 loads are plain scalar fetches, so splitting is free
+            # and lets the verts loads issue after the slab starts.
+            split = gated_verts or pack == 1
+            rec = _fetch(nodes, node, 14 if split else 32, pack)
             (lx0, ly0, lz0, lx1, ly1, lz1,
-             rx0, ry0, rz0, rx1, ry1, rz1, lf, rf) = rec
+             rx0, ry0, rz0, rx1, ry1, rz1, lf, rf) = rec[:14]
             hit_l, tmin_l = slab(g, lx0, ly0, lz0, lx1, ly1, lz1, t)
             hit_r, tmin_r = slab(g, rx0, ry0, rz0, rx1, ry1, rz1, t)
             hit_l = hit_l & alive
@@ -405,8 +423,11 @@ def _make_kernel(
                 )
                 l_near = vote >= 0
 
-            lverts = _fetch_verts(nodes, node, 0, lleaf, flat, gated_verts)
-            rverts = _fetch_verts(nodes, node, 1, rleaf, flat, gated_verts)
+            if split:
+                lverts = _fetch_verts(nodes, node, 0, lleaf, pack, gated_verts)
+                rverts = _fetch_verts(nodes, node, 1, rleaf, pack, gated_verts)
+            else:
+                lverts, rverts = rec[14:23], rec[23:32]
 
             # Leaf children: intersect in place, gated by their own box mask.
             if leaf_cond:
@@ -468,9 +489,10 @@ def _make_kernel(
                     nodes_k.append(jnp.where(alive, stack[g, sp], 0))
                     alives.append(alive)
 
+                split = gated_verts or pack == 1
                 recs, masks = [], []
                 for i in range(n):
-                    rec = _fetch(nodes, nodes_k[i], 14, flat)
+                    rec = _fetch(nodes, nodes_k[i], 14 if split else 32, pack)
                     hl, _ = slab(g, *rec[:6], t)
                     hr, _ = slab(g, *rec[6:12], t)
                     masks.append(hl & alives[i])
@@ -502,8 +524,11 @@ def _make_kernel(
                 metas = [unpack_meta(g, rec[12], rec[13]) for rec in recs]
                 for i in range(n):
                     li, ri, lleaf, rleaf, _ = metas[i]
-                    vl = _fetch_verts(nodes, nodes_k[i], 0, lleaf, flat, gated_verts)
-                    vr = _fetch_verts(nodes, nodes_k[i], 1, rleaf, flat, gated_verts)
+                    if split:
+                        vl = _fetch_verts(nodes, nodes_k[i], 0, lleaf, pack, gated_verts)
+                        vr = _fetch_verts(nodes, nodes_k[i], 1, rleaf, pack, gated_verts)
+                    else:
+                        vl, vr = recs[i][14:23], recs[i][23:32]
                     t, tri, u, v = leaf_test(
                         g, li, vl, masks[2 * i] & lleaf, (t, tri, u, v)
                     )
@@ -577,7 +602,7 @@ def _make_kernel(
 
 @functools.lru_cache(maxsize=64)
 def _traversal_fn(
-    T: int, cap: int, flat: bool, interpret: bool, G: int = 1,
+    T: int, cap: int, pack: int, interpret: bool, G: int = 1,
     count_steps: bool = False, order: str = "axis", leaf_cond: bool = False,
     unroll: int = 1, popn: int = 1, rows: int = _SUB,
     gated_verts: bool = False,
@@ -591,7 +616,7 @@ def _traversal_fn(
 
     assert T % G == 0
     packet = rows * _LANE
-    tab_shape = (cap, _SLOTS) if flat else (cap // _PACK, 128)
+    tab_shape = (cap, _SLOTS) if pack == 1 else (cap // pack, pack * _SLOTS)
     out_shape = [jax.ShapeDtypeStruct((T, 4, packet), jnp.float32)]
     out_specs = [
         pl.BlockSpec((G, 4, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -605,7 +630,7 @@ def _traversal_fn(
         )
     call = pl.pallas_call(
         _make_kernel(
-            flat, G, count_steps, order, leaf_cond, unroll, popn, rows,
+            pack, G, count_steps, order, leaf_cond, unroll, popn, rows,
             gated_verts,
         ),
         grid=(T // G,),
@@ -661,12 +686,12 @@ def traversal_step_counts(
     packet = rows * _LANE
     assert R % packet == 0
     T = R // packet
-    flat = bvh.capacity <= FLAT_MAX_CAPACITY
+    pack = auto_pack(bvh.capacity)
     if interleave is None:
         interleave = next(g for g in (DEFAULT_INTERLEAVE, 2, 1) if T % g == 0)
-    nodes = prepare_tables(scene, bvh, flat=flat)
+    nodes = prepare_tables(scene, bvh, pack=pack)
     run = _traversal_fn(
-        T, bvh.capacity, flat, interpret, interleave, True, "axis", False,
+        T, bvh.capacity, pack, interpret, interleave, True, "axis", False,
         rows=rows,
     )
     t, tri, u, v, steps = run(nodes, origins, dirs)
@@ -681,7 +706,19 @@ def traversal_step_counts(
 _TABLE_CACHE: dict = {}
 
 
-def prepare_tables(scene: Scene, bvh: Bvh, flat: bool | None = None):
+def _resolve_pack(capacity: int, flat: bool | None, pack: int | None) -> int:
+    """Back-compat layout resolution: explicit ``pack`` wins; legacy ``flat``
+    maps True → 1 and False → 4 (the original two layouts); None → auto."""
+    if pack is not None:
+        return pack
+    if flat is not None:
+        return 1 if flat else 4
+    return auto_pack(capacity)
+
+
+def prepare_tables(
+    scene: Scene, bvh: Bvh, flat: bool | None = None, pack: int | None = None
+):
     """Packed kernel tables for (scene, bvh), cached per Bvh instance.
 
     Packing costs several HBM passes (~4 ms at 65K tris); a static scene
@@ -690,26 +727,25 @@ def prepare_tables(scene: Scene, bvh: Bvh, flat: bool | None = None):
     Inside a jit trace (tracer inputs) the cache is bypassed and packing
     fuses into the caller's program.
     """
-    if flat is None:
-        flat = bvh.capacity <= FLAT_MAX_CAPACITY
+    pack = _resolve_pack(bvh.capacity, flat, pack)
     if isinstance(jnp.asarray(bvh.left), jax.core.Tracer):
-        return pack_tables(scene, bvh, flat=flat)
+        return pack_tables(scene, bvh, pack=pack)
     key = id(bvh)
     ent = _TABLE_CACHE.get(key)
     if (
         ent is not None
         and ent[0]() is bvh
         and ent[1]() is scene
-        and ent[2] == flat
+        and ent[2] == pack
     ):
         return ent[3]
-    tables = pack_tables(scene, bvh, flat=flat)
+    tables = pack_tables(scene, bvh, pack=pack)
     try:
         bvh_ref = weakref.ref(bvh, lambda _ref, _k=key: _TABLE_CACHE.pop(_k, None))
         scene_ref = weakref.ref(scene)
     except TypeError:
         return tables
-    _TABLE_CACHE[key] = (bvh_ref, scene_ref, flat, tables)
+    _TABLE_CACHE[key] = (bvh_ref, scene_ref, pack, tables)
     return tables
 
 
@@ -725,9 +761,10 @@ def traverse_packets_pallas(
     order: str = "axis",
     leaf_cond: bool = False,
     unroll: int = 1,
-    popn: int = 8,
+    popn: int | None = None,
     rows: int = _SUB,
     gated_verts: bool = False,
+    pack: int | None = None,
     t_init: jnp.ndarray | None = None,
 ) -> HitRecord:
     """Kernel-based nearest-hit traversal over (R, 3) rays.
@@ -740,17 +777,26 @@ def traverse_packets_pallas(
     (`trace_packet.tiled_ray_order`).  Hit-compatible with `trace.traverse`
     up to exact-t ties (traversal order is near-child-first here; the strict-<
     keep makes every non-tied result identical).  ``tables`` may carry the
-    `prepare_tables` result to skip per-call packing.  ``flat`` overrides the
-    capacity-based table-layout choice (tests force the packed layout with
+    `prepare_tables` result to skip per-call packing.  ``pack`` (1/2/4
+    records per row; legacy ``flat`` True/False = 1/4) overrides the
+    capacity-based table-layout choice (tests force dense layouts with
     small scenes this way).
     """
     R = origins.shape[0]
     packet = rows * _LANE
     assert R % packet == 0, f"{R} rays not divisible by {packet}"
     T = R // packet
-    if flat is None:
-        flat = bvh.capacity <= FLAT_MAX_CAPACITY
-    nodes = tables if tables is not None else prepare_tables(scene, bvh, flat=flat)
+    pack = _resolve_pack(bvh.capacity, flat, pack)
+    if popn is None:
+        # Layout-dependent default, MEASURED on v5e (same-day A/B): pack=1
+        # fetches are single scalar loads, so deep multi-pop wins (popn=8:
+        # 34.7 vs popn=2: 21.8 Mrays/s at 65K/512²); a pack-way-switch
+        # fetch multiplies popn-fold into pack·popn straight-line fetch
+        # blocks whose code size erodes deep multi-pop (config 3 pack=4:
+        # popn=8 2.97 vs popn=2 3.8 Mrays/s), and at 260K tris pack=2
+        # popn=4 beats pack=4 popn=2 by 1.36x.
+        popn = {1: 8, 2: 4, 4: 2}[pack]
+    nodes = tables if tables is not None else prepare_tables(scene, bvh, pack=pack)
 
     # Bounded launches: XLA stages a pallas_call's whole output in scoped
     # VMEM (observed OOM at 1980 packets / 32 MB out), so large batches are
@@ -763,7 +809,7 @@ def traverse_packets_pallas(
         if g is None:
             g = next(gg for gg in (DEFAULT_INTERLEAVE, 2, 1) if Tseg % gg == 0)
         run = _traversal_fn(
-            Tseg, bvh.capacity, flat, interpret, g,
+            Tseg, bvh.capacity, pack, interpret, g,
             False, order, leaf_cond, unroll, popn, rows, gated_verts,
         )
         sl = slice(lo * packet, (lo + Tseg) * packet)

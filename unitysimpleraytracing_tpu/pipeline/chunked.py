@@ -69,7 +69,7 @@ def build_bvh_chunked(scene: Scene, chunk_capacity: int = 163840) -> ChunkedBvh:
         [
             trace_pallas.pack_tables(
                 _chunk_scene(sscene, s, cap), _chunk_bvh(bvhs, s, cap),
-                flat=cap <= trace_pallas.FLAT_MAX_CAPACITY,
+                pack=trace_pallas.auto_pack(cap),
             )
             for s in range(num_chunks)
         ]
