@@ -127,9 +127,9 @@ def test_pallas_parity_at_large_scene_extent():
 
 
 def test_packed_table_layout_parity():
-    """Force the packed (flat=False) 8-records-per-row layout on a small
-    scene — exercises the 8-way-switch `_fetch` path that production uses
-    for 96K–600K-triangle scenes (trace_pallas.py packed layout)."""
+    """Force the densest (pack=4) 4-records-per-row layout on a small
+    scene — exercises the 4-way-switch `_fetch` path that production uses
+    for 340K–600K-triangle scenes (trace_pallas.py packed layout)."""
     scene = rt.build_scene(
         rt.random_triangle_soup(300, seed=7, bound=5.0, tri_size=1.0)
     )
@@ -161,3 +161,33 @@ def test_prepare_tables_cache_engages_and_evicts():
     del bvh
     gc.collect()
     assert key not in trace_pallas._TABLE_CACHE, "dead Bvh entry not evicted"
+
+
+def test_anyhit_occlusion_matches_nearest_hit_boolean():
+    """The kernel's any-hit early-exit (ray row 7 threshold) collapses t to 0
+    at the first below-threshold hit; the occlusion boolean must equal the
+    nearest-hit engine's, and an inert (zero) threshold must change nothing."""
+    scene = rt.build_scene(rt.terrain_mesh(res=24, size=20.0, amplitude=4.0, seed=0))
+    bvh = rt.build_bvh(scene)
+    cam = rt.make_camera(eye=(14, 12, 18), target=(0, 0, 0), width=64, height=64)
+    from unitysimpleraytracing_tpu.core.camera import generate_rays
+
+    o, d = generate_rays(cam)
+    base = trace_pallas.traverse_packets_pallas(scene, bvh, o, d, interpret=True)
+    inert = trace_pallas.traverse_packets_pallas(
+        scene, bvh, o, d, interpret=True,
+        anyhit_thresh=jnp.zeros((o.shape[0],), jnp.float32),
+    )
+    np.testing.assert_array_equal(np.asarray(inert.t), np.asarray(base.t))
+    np.testing.assert_array_equal(np.asarray(inert.tri), np.asarray(base.tri))
+
+    hits = rt.render_hits(scene, bvh, cam)
+    pts = np.asarray(o) + np.asarray(d) * np.asarray(hits.t)[:, None]
+    pts = np.where(np.asarray(hits.hit)[:, None], pts, 0.0).astype(np.float32)
+    ldir = np.broadcast_to(
+        np.float32([1, 1, 1]) / np.sqrt(np.float32(3)), pts.shape
+    ).astype(np.float32)
+    occ_any = dispatch.occluded(scene, bvh, jnp.asarray(pts), jnp.asarray(ldir), impl="pallas")
+    occ_ref = dispatch.occluded(scene, bvh, jnp.asarray(pts), jnp.asarray(ldir), impl="packet")
+    np.testing.assert_array_equal(np.asarray(occ_any), np.asarray(occ_ref))
+    assert float(np.asarray(occ_ref).mean()) > 0.1  # scene actually shadows

@@ -70,14 +70,24 @@ def sample_bilinear(tex: Texture, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
     fx = x - x0
     fy = y - y0
     x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
-    flat = tex.data.reshape(h * w, 4)
-    t00 = jnp.take(flat, y0i * w + x0i, axis=0)
-    t10 = jnp.take(flat, y0i * w + x1i, axis=0)
-    t01 = jnp.take(flat, y1i * w + x0i, axis=0)
-    t11 = jnp.take(flat, y1i * w + x1i, axis=0)
+    # Below-edge clamp: the per-fetch form had BOTH texels clamp to index 0
+    # when x0 < 0 (lerp of equal texels == edge texel); the quad row at 0
+    # holds (tex0, tex1), so zero the fraction instead — identical result.
+    fx = jnp.where(x0 < 0, 0.0, fx)
+    fy = jnp.where(y0 < 0, 0.0, fy)
+    # ONE 16-column row-gather instead of four 4-column gathers: TPU gather
+    # cost is per ROW for ≤16 columns (measured, benchmarks/kernel_probe.py),
+    # so a (H*W, 16) quad table — each row holding the 2×2 clamped texel
+    # neighborhood — fetches 4x fewer rows.  The above-edge clamp shifts
+    # reproduce min(i+1, size-1) exactly (identical texels → identical lerp).
+    d = tex.data
+    dx = jnp.concatenate([d[:, 1:], d[:, -1:]], axis=1)
+    dy = jnp.concatenate([d[1:], d[-1:]], axis=0)
+    dxy = jnp.concatenate([dx[1:], dx[-1:]], axis=0)
+    quad = jnp.concatenate([d, dx, dy, dxy], axis=2).reshape(h * w, 16)
+    q = jnp.take(quad, y0i * w + x0i, axis=0)
+    t00, t10, t01, t11 = q[:, 0:4], q[:, 4:8], q[:, 8:12], q[:, 12:16]
     fx = fx[:, None]
     fy = fy[:, None]
     top = t00 * (1 - fx) + t10 * fx

@@ -43,6 +43,7 @@ def trace_rays(
     impl: str = "auto",
     tables=None,
     t_init=None,
+    anyhit_thresh=None,
 ) -> HitRecord:
     """Trace an (R, 3) ray batch with the chosen engine, padding R as needed.
 
@@ -52,7 +53,11 @@ def trace_rays(
     f32) is an exact pruning bound from a previous traversal (chunk/hop);
     engines that cannot exploit it ignore it — results are identical either
     way (a candidate at or beyond the bound can never win the caller's
-    strict-< fold).
+    strict-< fold).  ``anyhit_thresh`` (optional (R,) f32, 0 = off) is the
+    occlusion early-exit: engines that support it collapse a ray's t to 0 at
+    the first hit strictly below the threshold (the occlusion BOOLEAN
+    ``hit & (t < thresh)`` is identical either way — the nearest hit is
+    minimal, so one below-threshold hit exists iff the nearest is below).
     """
     impl = resolve_impl(impl, bvh.capacity)
     if impl == "perray":
@@ -68,12 +73,16 @@ def trace_rays(
             t_init = jnp.concatenate(
                 [t_init, jnp.zeros((pad,), jnp.float32)]  # padding: cull all
             )
+        if anyhit_thresh is not None:
+            anyhit_thresh = jnp.concatenate(
+                [anyhit_thresh, jnp.zeros((pad,), jnp.float32)]
+            )
 
     if impl == "pallas":
         hits = trace_pallas.traverse_packets_pallas(
             scene, bvh, origins, dirs,
             interpret=jax.default_backend() == "cpu", tables=tables,
-            t_init=t_init,
+            t_init=t_init, anyhit_thresh=anyhit_thresh,
         )
     elif impl == "packet":
         hits = trace_packet.traverse_packets(scene, bvh, origins, dirs, packet_size=packet)
@@ -114,7 +123,16 @@ def occluded(
     )
     far = 4.0 * ext + jnp.max(jnp.abs(origins)) + 1.0
     back_origins = origins + dirs * far
-    hits = trace_rays(scene, bvh, back_origins, -dirs, impl=impl, tables=tables)
+    # Occlusion needs a boolean, not the nearest hit: the any-hit threshold
+    # lets the kernel retire a ray at its FIRST qualifying hit (t collapses
+    # to 0, which still satisfies hit & t < far-eps below).  Engines without
+    # any-hit support ignore it and answer via their nearest hit — the
+    # boolean is identical (the nearest hit is minimal).
+    thresh = jnp.broadcast_to(far - eps, (origins.shape[0],)).astype(jnp.float32)
+    hits = trace_rays(
+        scene, bvh, back_origins, -dirs, impl=impl, tables=tables,
+        anyhit_thresh=thresh,
+    )
     return hits.hit & (hits.t < far - eps)
 
 

@@ -166,15 +166,17 @@ def shade(
     tri = hits.tri
     w = 1.0 - hits.u - hits.v
     bary = (w[:, None], hits.u[:, None], hits.v[:, None])
-    uv = (
-        bary[0] * scene.triangles.a_uv[tri]
-        + bary[1] * scene.triangles.b_uv[tri]
-        + bary[2] * scene.triangles.c_uv[tri]
-    )
+    # ONE 15-column row-gather instead of six: TPU gather cost is per ROW
+    # for ≤16 columns (measured, benchmarks/kernel_probe.py), and at 1080p
+    # the six separate attribute gathers dominated the shading pass.
+    t = scene.triangles
+    attr = jnp.concatenate(
+        [t.a_uv, t.b_uv, t.c_uv, t.a_normal, t.b_normal, t.c_normal], axis=1
+    )  # (cap, 15)
+    rec = attr[tri]
+    uv = bary[0] * rec[:, 0:2] + bary[1] * rec[:, 2:4] + bary[2] * rec[:, 4:6]
     normal = (
-        bary[0] * scene.triangles.a_normal[tri]
-        + bary[1] * scene.triangles.b_normal[tri]
-        + bary[2] * scene.triangles.c_normal[tri]
+        bary[0] * rec[:, 6:9] + bary[1] * rec[:, 9:12] + bary[2] * rec[:, 12:15]
     )
     inv_sqrt3 = jnp.float32(1.0) / jnp.sqrt(jnp.float32(3.0))
     lambert = jnp.maximum(0.4, inv_sqrt3 * jnp.sum(normal, axis=-1))

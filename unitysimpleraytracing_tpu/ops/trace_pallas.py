@@ -194,6 +194,11 @@ def pack_tables(scene: Scene, bvh: Bvh, pack: int = 1):
     )  # (cap, 32)
     if pack == 1:
         return nodes
+    # (A transposed (32, cap) layout — static sublane, dynamic lane, zero
+    # padding — was tried and REJECTED by Mosaic on hardware: scalar loads
+    # cannot take a dynamic lane index ("cannot statically prove that index
+    # in dimension 1 is a multiple of 128").  The pack-way switch making the
+    # lane base static is the only dense-layout fetch that compiles.)
     return nodes.reshape(cap // pack, pack * _SLOTS)
 
 
@@ -283,6 +288,19 @@ def _make_kernel(
         origin = [(rowg(g, 0), rowg(g, 1), rowg(g, 2)) for g in range(G)]
         direc = [(rowg(g, 3), rowg(g, 4), rowg(g, 5)) for g in range(G)]
         inv = [(1.0 / dx, 1.0 / dy, 1.0 / dz) for (dx, dy, dz) in direc]
+        # Ray row 7: any-hit threshold (occlusion queries).  0 → inert
+        # (nearest-hit mode).  See _anyhit_collapse.
+        thr = [rowg(g, 7) for g in range(G)]
+
+        def _anyhit_collapse(g, t):
+            """Once a hit lands strictly below the ray's threshold, its
+            running t collapses to 0: every remaining subtree then fails the
+            ``tmin < t_cur`` cull (occlusion rays start OUTSIDE the scene —
+            dispatch.occluded — so every slab entry is positive) and the ray
+            leaves the union DFS.  Exact for the occlusion boolean: the
+            nearest hit is minimal, so SOME hit < thr exists iff the final
+            nearest t would be < thr.  Two vector ops; free when inert."""
+            return jnp.where((thr[g] > 0) & (t < thr[g]), jnp.float32(0.0), t)
 
         # order="axis": majority direction sign per axis, ONCE per packet —
         # each node's near child then comes from its build-time split axis
@@ -453,6 +471,8 @@ def _make_kernel(
                     g, right_idx, rverts, hit_r & rleaf & any_r, (t, tri, u, v)
                 )
 
+            t = _anyhit_collapse(g, t)
+
             # Internal children: push far-then-near so the near subtree is
             # explored first.
             push_l = any_l & ~lleaf
@@ -535,6 +555,8 @@ def _make_kernel(
                     t, tri, u, v = leaf_test(
                         g, ri, vr, masks[2 * i + 1] & rleaf, (t, tri, u, v)
                     )
+
+                t = _anyhit_collapse(g, t)
 
                 # Push in reverse pop order (the first pop's near child ends
                 # topmost, preserving near-first progression).
@@ -655,15 +677,20 @@ def _traversal_fn(
     )
 
     @jax.jit
-    def run(nodes, origins, dirs, t_init=None):
+    def run(nodes, origins, dirs, t_init=None, anyhit=None):
         R = T * packet
         t_row = (
             jnp.full((1, R), C.MAX_FLOAT, jnp.float32)
             if t_init is None
             else t_init.reshape(1, R)
         )
+        thr_row = (
+            jnp.zeros((1, R), jnp.float32)
+            if anyhit is None
+            else anyhit.reshape(1, R)
+        )
         rays = jnp.concatenate(
-            [origins.T, dirs.T, t_row, jnp.zeros((1, R), jnp.float32)], axis=0
+            [origins.T, dirs.T, t_row, thr_row], axis=0
         )  # (8, R)
         rays = rays.reshape(8, T, packet).transpose(1, 0, 2)  # (T, 8, packet)
         res = call(nodes, rays)
@@ -766,12 +793,17 @@ def traverse_packets_pallas(
     gated_verts: bool = False,
     pack: int | None = None,
     t_init: jnp.ndarray | None = None,
+    anyhit_thresh: jnp.ndarray | None = None,
 ) -> HitRecord:
     """Kernel-based nearest-hit traversal over (R, 3) rays.
 
     ``t_init`` (optional (R,) f32) seeds each ray's running best t — hits at
     or beyond it are pruned AND rejected exactly as if a previous traversal
     had already found a hit there (cross-chunk / ring-hop culling).
+    ``anyhit_thresh`` (optional (R,) f32, 0 = off) turns a ray's query into
+    an occlusion test: the first accepted hit strictly below the threshold
+    collapses its running t to 0 and exits its traversal early — the
+    returned ``t`` is then 0, not the nearest hit (dispatch.occluded).
 
     R must be a multiple of the packet size ``rows*128``; order rays coherently
     (`trace_packet.tiled_ray_order`).  Hit-compatible with `trace.traverse`
@@ -817,6 +849,7 @@ def traverse_packets_pallas(
             run(
                 nodes, origins[sl], dirs[sl],
                 None if t_init is None else t_init[sl],
+                None if anyhit_thresh is None else anyhit_thresh[sl],
             )
         )
     if len(outs) == 1:

@@ -41,28 +41,46 @@ def render_hits(scene: Scene, bvh: Bvh, cam: Camera, impl: str = "auto") -> HitR
     return _render_hits_impl(scene, bvh, cam, _prepared(scene, bvh, impl), impl)
 
 
-def _shadow_mask(scene, bvh, hits, impl, tables=None):
+def _shadow_mask(scene, bvh, hits, impl, cam, tables=None):
     """Occlusion toward the reference's fixed directional light (1,1,1):
-    shadow rays start at the hit point (reconstructed barycentrically),
-    offset along the light to avoid self-intersection."""
-    from unitysimpleraytracing_tpu.ops.dispatch import occluded
+    shadow rays start at the hit point, offset along the light to avoid
+    self-intersection.
 
-    tri = hits.tri
-    w = 1.0 - hits.u - hits.v
-    p = (
-        w[:, None] * scene.triangles.a[tri]
-        + hits.u[:, None] * scene.triangles.b[tri]
-        + hits.v[:, None] * scene.triangles.c[tri]
-    )
+    Two measured v5e costs shape this:
+    - hit points come from ``origin + t*dir`` (zero gathers; fp-identical to
+      the surface point up to ULPs, and the 1e-3 light offset dwarfs that) —
+      the barycentric reconstruction it replaces cost three (R, 3) vertex
+      GATHERS, ~90 ms at 1080p;
+    - shadow rays inherit the primary rays' spatial coherence, so they are
+      reordered into the same 32×32 tile-major packets before tracing
+      (row-major shadow packets cost several times the tile-major trace —
+      the union DFS of a 1024-ray packet spanning a whole image row is
+      huge)."""
+    from unitysimpleraytracing_tpu.core.camera import generate_rays
+    from unitysimpleraytracing_tpu.ops.dispatch import _row_major, _tile_major, occluded
+
+    o, d = generate_rays(cam)  # CSE'd with camera_trace's identical call
+    p = jnp.where(hits.hit[:, None], o + hits.t[:, None] * d, 0.0)
     light = jnp.full((3,), 1.0 / jnp.sqrt(jnp.float32(3.0)), jnp.float32)
     dirs = jnp.broadcast_to(light, p.shape)
-    return occluded(scene, bvh, p + dirs * 1e-3, dirs, impl=impl, tables=tables) & hits.hit
+    origins = p + dirs * 1e-3
+    h, w_ = cam.height, cam.width
+    if h % 32 == 0 and w_ % 32 == 0:
+        occ = occluded(
+            scene, bvh,
+            _tile_major(origins, h, w_, 32), _tile_major(dirs, h, w_, 32),
+            impl=impl, tables=tables,
+        )
+        return _row_major(occ, h, w_, 32) & hits.hit
+    return occluded(scene, bvh, origins, dirs, impl=impl, tables=tables) & hits.hit
 
 
 @functools.partial(jax.jit, static_argnames=("impl", "shadows"))
 def _render_rgba_impl(scene, bvh, cam, tex, tables, impl, shadows=False) -> jnp.ndarray:
     hits = camera_trace(scene, bvh, cam, impl=impl, tables=tables)
-    shadow = _shadow_mask(scene, bvh, hits, impl, tables) if shadows else None
+    shadow = (
+        _shadow_mask(scene, bvh, hits, impl, cam, tables) if shadows else None
+    )
     rgba = trace.shade(scene, tex, hits, shadow=shadow)
     return rgba.reshape(cam.height, cam.width, 4)
 
