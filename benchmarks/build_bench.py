@@ -66,7 +66,7 @@ def main() -> None:
     keys, sorted_tri = sort.sort_key_val(scene.morton, scene.tri_index)
     ukeys = unique.distribute_keys(keys, n)
     topo = lbvh.build_topology(ukeys, n)
-    (_, _, _, _, iparent, _, first, last) = topo
+    (_, _, _, _, iparent, _, first, last, _axis) = topo
     jax.block_until_ready(first)
 
     stages = {}
