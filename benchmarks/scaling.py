@@ -59,14 +59,20 @@ def main(argv=None):
                     default="auto", help="per-device traversal engine")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny sizes + CPU platform (virtual-mesh CI check)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the 8-virtual-device CPU mesh at FULL sizes "
+                    "(parity + exchange_fraction evidence; timings host-bound)")
+    ap.add_argument("--out", default=None,
+                    help="append result rows to this JSON-lines file")
     args = ap.parse_args(argv)
 
-    if args.smoke:
+    if args.smoke or args.cpu:
         os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        args.tris, args.rays = 1024, 4096
+        if args.smoke:
+            args.tris, args.rays = 1024, 4096
 
     import jax
     import jax.numpy as jnp
@@ -165,9 +171,18 @@ def main(argv=None):
         "value": results[-1]["scaling_efficiency"] if results else 0.0,
         "unit": "fraction_of_linear",
         "mode": args.mode, "engine": args.engine,
+        "tris": args.tris, "rays": args.rays,
+        "platform": jax.default_backend(),
         "parity_all": all(r.get("parity", True) for r in results),
     }
     print(json.dumps(summary), flush=True)
+    if args.out:
+        with open(args.out, "a") as f:
+            for r in results:
+                f.write(json.dumps({**r, "engine": args.engine,
+                                    "tris": args.tris,
+                                    "platform": jax.default_backend()}) + "\n")
+            f.write(json.dumps(summary) + "\n")
     return 0 if summary["parity_all"] else 1
 
 

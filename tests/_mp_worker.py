@@ -83,4 +83,38 @@ t = np.asarray(multihost_utils.process_allgather(out[0], tiled=True)).reshape(-1
 ref = np.asarray(trace.traverse(scene, bvh, jnp.asarray(origins), jnp.asarray(dirs)).t)
 np.testing.assert_array_equal(t, ref)
 print(f"proc {pid}: ring step exact over {nprocs} processes")
+
+# --- per-host scene ingest (multihost.host_shard_bounds consumer) ---------
+# Each host loads ONLY its contiguous triangle range and derives its own
+# AABB/Morton arrays against the reference's fixed parity box (the Morton
+# normalization must not depend on which triangles a host sees,
+# MeshBufferContainer.cs:9-15); the gathered per-host pieces must equal the
+# single-host ingest of the full mesh, bit for bit.
+from unitysimpleraytracing_tpu.core.mesh import MeshData  # noqa: E402
+
+n = mesh_obj.num_triangles
+lo, hi = multihost.host_shard_bounds(n, nprocs, pid)
+local_mesh = MeshData(
+    positions=mesh_obj.positions[lo:hi],
+    uvs=mesh_obj.uvs[lo:hi],
+    normals=mesh_obj.normals[lo:hi],
+)
+local = rt.build_scene(local_mesh, scene_bound=rt.constants.PARITY_SCENE_BOUND)
+full = rt.build_scene(mesh_obj, scene_bound=rt.constants.PARITY_SCENE_BOUND)
+m = hi - lo
+pieces = {
+    "morton": np.asarray(local.morton)[:m],
+    "aabb_min": np.asarray(local.aabb_min)[:m],
+    "aabb_max": np.asarray(local.aabb_max)[:m],
+    "tri_global": np.asarray(local.tri_index)[:m] + lo,
+}
+gathered = {
+    k: np.asarray(multihost_utils.process_allgather(jnp.asarray(v), tiled=True))
+    for k, v in pieces.items()
+}
+np.testing.assert_array_equal(gathered["morton"], np.asarray(full.morton)[:n])
+np.testing.assert_array_equal(gathered["aabb_min"], np.asarray(full.aabb_min)[:n])
+np.testing.assert_array_equal(gathered["aabb_max"], np.asarray(full.aabb_max)[:n])
+np.testing.assert_array_equal(gathered["tri_global"], np.arange(n))
+print(f"proc {pid}: per-host ingest [{lo},{hi}) matches full ingest")
 sys.exit(0)

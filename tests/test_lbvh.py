@@ -98,3 +98,18 @@ def test_root_aabb_covers_scene():
     tmax = np.asarray(scene.aabb_max)[: scene.count]
     np.testing.assert_array_equal(root_min, tmin.min(axis=0))
     np.testing.assert_array_equal(root_max, tmax.max(axis=0))
+
+
+def test_build_bvh_validate_flag_runs_in_situ():
+    """``build_bvh(validate=True)`` runs the promoted validators on the
+    user's actual scene (the reference validates every sort pass inside the
+    real pipeline, ComputeBufferSorter.cs:107-125) and returns a usable BVH."""
+    scene = build_scene(random_triangle_soup(220, seed=3, bound=6.0, tri_size=1.0))
+    bvh = build_bvh(scene, validate=True)
+    assert int(np.asarray(bvh.internal_parent)[1]) >= 0  # diagnostics attached
+    # Same tree as the unvalidated build.
+    plain = build_bvh(scene)
+    np.testing.assert_array_equal(np.asarray(bvh.left), np.asarray(plain.left))
+    np.testing.assert_array_equal(
+        np.asarray(bvh.node_aabb_min), np.asarray(plain.node_aabb_min)
+    )

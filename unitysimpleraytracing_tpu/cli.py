@@ -5,11 +5,47 @@ The reference's only entry point is a Unity MonoBehaviour wired in a scene
 
     python -m unitysimpleraytracing_tpu.cli scene.obj out.png \
         --texture tex.png --width 640 --height 480 --eye 3 2 4
+
+Per-frame loop parity: ``--orbit N`` renders an N-frame camera orbit around
+the target — the reference re-dispatches the traversal every ``Update()``
+against the Awake-built BVH (RaytracingMeshDrawer.cs:76-84); here the packed
+kernel tables are likewise built once and reused across frames (the table
+cache), and the steady-state per-frame ms is reported.  ``--background-image``
+composites over a real image instead of a solid color, the reference's
+OnRenderImage blend over the camera's raster frame (ImageComposer.shader:44-53).
 """
 from __future__ import annotations
 
 import argparse
 import time
+
+
+def orbit_eyes(eye, target, n: int):
+    """Eye positions of an n-frame full-revolution orbit about the target's
+    vertical (y) axis, starting at ``eye`` (frame 0 == the static camera)."""
+    import numpy as np
+
+    rel = np.asarray(eye, np.float64) - np.asarray(target, np.float64)
+    out = []
+    for i in range(n):
+        ang = 2.0 * np.pi * i / n
+        c, s = np.cos(ang), np.sin(ang)
+        out.append(
+            np.asarray(target)
+            + np.array([rel[0] * c + rel[2] * s, rel[1], -rel[0] * s + rel[2] * c])
+        )
+    return out
+
+
+def _resize_nearest(img, h: int, w: int):
+    """Nearest-neighbor resample of an (H0, W0, C) image to (h, w, C) —
+    background plates only (the raster image the traced layer blends over)."""
+    import numpy as np
+
+    h0, w0 = img.shape[:2]
+    ys = (np.arange(h) * h0 // h).clip(0, h0 - 1)
+    xs = (np.arange(w) * w0 // w).clip(0, w0 - 1)
+    return img[ys[:, None], xs[None, :]]
 
 
 def main(argv=None) -> None:
@@ -23,11 +59,31 @@ def main(argv=None) -> None:
     ap.add_argument("--eye", type=float, nargs=3, default=None)
     ap.add_argument("--target", type=float, nargs=3, default=(0.0, 0.0, 0.0))
     ap.add_argument("--background", type=float, nargs=3, default=(0.12, 0.12, 0.15))
+    ap.add_argument(
+        "--background-image", default=None,
+        help="PNG to composite the traced layer over (the reference's "
+        "raster frame; resized to the render resolution)",
+    )
+    ap.add_argument(
+        "--orbit", type=int, default=0, metavar="N",
+        help="render an N-frame camera orbit around the target; frame i is "
+        "written to OUT with '_NNN' appended; reports steady-state ms/frame",
+    )
     ap.add_argument("--flip-x", action="store_true", help="Unity-style OBJ import")
     ap.add_argument("--shadows", action="store_true", help="shadow-ray pass")
     ap.add_argument(
         "--gizmo", action="store_true",
-        help="overlay BVH internal-node AABB wireframes (debug oracle)",
+        help="overlay BVH internal-node AABB wireframes in red "
+        "(RaytracingMeshDrawer.OnDrawGizmos:108-115)",
+    )
+    ap.add_argument(
+        "--gizmo-tris", action="store_true",
+        help="overlay per-triangle AABB wireframes in white (:98-105)",
+    )
+    ap.add_argument(
+        "--gizmo-index", type=int, default=-1,
+        help="draw only this node/triangle index (the reference's "
+        "_indexToCheck inspector slider, RaytracingMeshDrawer.cs:11)",
     )
     ap.add_argument(
         "--platform", default="auto", choices=["auto", "cpu", "tpu"],
@@ -44,7 +100,7 @@ def main(argv=None) -> None:
     import numpy as np
 
     import unitysimpleraytracing_tpu as rt
-    from unitysimpleraytracing_tpu.io.png import write_png
+    from unitysimpleraytracing_tpu.io.png import read_png, write_png
 
     t0 = time.perf_counter()
     mesh = rt.load_obj(args.obj, flip_x=args.flip_x)
@@ -56,42 +112,91 @@ def main(argv=None) -> None:
     bvh.node_aabb_min.block_until_ready()
     print(f"BVH built in {time.perf_counter()-t0:.3f}s")
 
+    lo = mesh.positions.min(axis=(0, 1))
+    hi = mesh.positions.max(axis=(0, 1))
+    center = (lo + hi) / 2
+    diag = float(np.linalg.norm(hi - lo))
     if args.eye is None:
-        lo = mesh.positions.min(axis=(0, 1))
-        hi = mesh.positions.max(axis=(0, 1))
-        center = (lo + hi) / 2
-        diag = float(np.linalg.norm(hi - lo))
         eye = center + np.array([0.8, 0.6, 1.2]) * diag
         target = center
     else:
-        eye, target = args.eye, args.target
-    cam = rt.make_camera(
-        eye=eye, target=target, width=args.width, height=args.height, fov_deg=args.fov
-    )
+        eye, target = np.asarray(args.eye, np.float64), np.asarray(args.target)
+
     tex = rt.load_texture(args.texture) if args.texture else rt.solid_texture((0.8, 0.8, 0.8, 1.0))
+    if args.background_image:
+        bg_img = read_png(args.background_image).astype(np.float32) / 255.0
+        background = np.ascontiguousarray(
+            _resize_nearest(bg_img[..., :3], args.height, args.width)[::-1]
+        )  # file is top-down; frames are bottom-up (UAV orientation)
+    else:
+        background = np.asarray(args.background, np.float32)
 
-    t0 = time.perf_counter()
-    frame = rt.render_frame(
-        scene, bvh, cam, tex, np.asarray(args.background, np.float32),
-        shadows=args.shadows,
-    )
-    frame.block_until_ready()
-    dt = time.perf_counter() - t0
-    mrays = args.width * args.height / dt / 1e6
-    print(f"rendered {args.width}x{args.height} in {dt:.3f}s ({mrays:.2f} Mrays/s, cold)")
+    def cam_at(eye_pos):
+        return rt.make_camera(
+            eye=eye_pos, target=target,
+            width=args.width, height=args.height, fov_deg=args.fov,
+        )
 
-    img = rt.frame_to_image(frame)
-    if args.gizmo:
+    def overlay(frame, cam):
+        img = rt.frame_to_image(frame)
+        if not (args.gizmo or args.gizmo_tris):
+            return img
         from unitysimpleraytracing_tpu.utils.visualize import draw_aabbs
 
-        over = draw_aabbs(
-            np.asarray(frame), cam,
-            np.asarray(bvh.node_aabb_min)[: bvh.num_internal],
-            np.asarray(bvh.node_aabb_max)[: bvh.num_internal],
+        over = np.asarray(frame)
+        sel = (
+            slice(None)
+            if args.gizmo_index < 0
+            else slice(args.gizmo_index, args.gizmo_index + 1)
         )
-        img = over[::-1]
-    write_png(args.out, img)
-    print(f"wrote {args.out}")
+        if args.gizmo_tris:  # per-triangle boxes, default (white) color
+            over = draw_aabbs(
+                over, cam,
+                np.asarray(scene.aabb_min)[: scene.count][sel],
+                np.asarray(scene.aabb_max)[: scene.count][sel],
+                color=(1.0, 1.0, 1.0),
+            )
+        if args.gizmo:  # internal-node boxes, red (Gizmos.color = Color.red)
+            over = draw_aabbs(
+                over, cam,
+                np.asarray(bvh.node_aabb_min)[: bvh.num_internal][sel],
+                np.asarray(bvh.node_aabb_max)[: bvh.num_internal][sel],
+                color=(1.0, 0.0, 0.0),
+            )
+        return over[::-1]
+
+    if args.orbit <= 0:
+        cam = cam_at(eye)
+        t0 = time.perf_counter()
+        frame = rt.render_frame(scene, bvh, cam, tex, background, shadows=args.shadows)
+        frame.block_until_ready()
+        dt = time.perf_counter() - t0
+        mrays = args.width * args.height / dt / 1e6
+        print(f"rendered {args.width}x{args.height} in {dt:.3f}s ({mrays:.2f} Mrays/s, cold)")
+        write_png(args.out, overlay(frame, cam))
+        print(f"wrote {args.out}")
+        return
+
+    # Camera orbit: rotate the eye about the target's vertical axis, one
+    # full revolution over N frames — the reference's per-frame Update loop.
+    stem, dot, ext = args.out.rpartition(".")
+    stem = stem or args.out
+    times = []
+    for i, eye_i in enumerate(orbit_eyes(eye, target, args.orbit)):
+        cam = cam_at(eye_i)
+        t0 = time.perf_counter()
+        frame = rt.render_frame(scene, bvh, cam, tex, background, shadows=args.shadows)
+        frame.block_until_ready()
+        times.append(time.perf_counter() - t0)
+        path = f"{stem}_{i:03d}.{ext or 'png'}"
+        write_png(path, overlay(frame, cam))
+    steady = float(np.median(times[1:])) if len(times) > 1 else times[0]
+    print(
+        f"orbit {args.orbit} frames {args.width}x{args.height}: "
+        f"cold {times[0]*1e3:.1f} ms, steady {steady*1e3:.1f} ms/frame "
+        f"({args.width*args.height/steady/1e6:.2f} Mrays/s)"
+    )
+    print(f"wrote {stem}_000.{ext or 'png'} .. {stem}_{args.orbit-1:03d}.{ext or 'png'}")
 
 
 if __name__ == "__main__":

@@ -170,6 +170,23 @@ def pack_tables(scene: Scene, bvh: Bvh, pack: int = 1):
     lmin, lmax = child_box(lc, bvh.left_is_leaf, left_idx)
     rmin, rmax = child_box(rc, bvh.right_is_leaf, right_idx)
 
+    # Cull soundness beyond the ~8e3 scene-extent bound (module docstring):
+    # the t-cull's exactness leans on the 1e-3 AABB inflation dominating
+    # slab rounding, whose absolute size scales with coordinate magnitude
+    # (measured safe at extent 7800, tests/test_trace_pallas.py).  Larger
+    # scenes get the packed child boxes widened by 4e-6 per unit of excess
+    # extent (~32 f32 ULPs/unit — an order of magnitude above the measured
+    # rounding) so the margin dominates again.  Widening only loosens the
+    # cull and the leaf pre-test gate (extra visits, never lost hits);
+    # scenes within the tested bound widen by exactly 0 and stay
+    # bit-identical.
+    root = jnp.maximum(
+        jnp.max(jnp.abs(bvh.node_aabb_min[0])), jnp.max(jnp.abs(bvh.node_aabb_max[0]))
+    )
+    widen = jnp.maximum(root - 8192.0, 0.0) * 4e-6
+    lmin, lmax = lmin - widen, lmax + widen
+    rmin, rmax = rmin - widen, rmax + widen
+
     t = scene.triangles
 
     def leaf_verts(is_leaf, tri):

@@ -28,7 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from unitysimpleraytracing_tpu import constants as C
 from unitysimpleraytracing_tpu.core.types import HitRecord, Scene
-from unitysimpleraytracing_tpu.ops import lbvh, sort, trace, unique
+from unitysimpleraytracing_tpu.ops import lbvh, sort, unique
 from unitysimpleraytracing_tpu.pipeline.build import deform_scene
 
 
@@ -47,13 +47,18 @@ def render_frames_pipelined(
     origins: jnp.ndarray,
     dirs: jnp.ndarray,
     mesh: Mesh,
+    impl: str = "auto",
 ):
     """Trace F dynamic frames with build (stage 0) and trace (stage 1)
     overlapped.  Returns per-frame HitRecord arrays shaped (F, R).
 
     The scan runs F+1 steps (fill + drain): step i builds frame i and traces
     frame i-1.  Per-frame results are bit-identical to a serial
-    deform → build_bvh → traverse of the same frame.
+    deform → build_bvh → traverse of the same frame with the same ``impl``.
+
+    ``impl`` selects the trace stage's engine via the production dispatch
+    (ops/dispatch.trace_rays): ``auto`` resolves to the Pallas kernel on TPU
+    and XLA packets on CPU; ``perray`` is the reference/debug engine.
     """
     F = positions.shape[0]
     R = origins.shape[0]
@@ -101,11 +106,13 @@ def render_frames_pipelined(
             )
 
         def trace_stage(payload):
+            from unitysimpleraytracing_tpu.ops import dispatch
+
             (left, right, lleaf, rleaf, rf, rl, ax,
              nmin, nmax, stri, amin, amax, pos) = payload
             s2 = deform_scene(scene_r, pos)
             bvh = _bvh_from(payload, cap)
-            h = trace.traverse(s2, bvh, origins_r, dirs_r)
+            h = dispatch.trace_rays(s2, bvh, origins_r, dirs_r, impl=impl)
             return h.t, h.tri, h.u, h.v
 
         def _bvh_from(payload, cap):
@@ -125,15 +132,12 @@ def render_frames_pipelined(
 
         def step(carry, pos_i):
             prev_payload = carry
-            # Stage 0 builds this frame; stage 1 skips the build work.
-            payload = jax.lax.cond(
-                stage == 0, build_stage, zeros_like_payload, pos_i
-            )
-            # Hand stage 0's output to stage 1 (one hop along pp).
-            payload = tuple(
-                jax.lax.ppermute(x, "pp", [(0, 1)]) for x in payload
-            )
-            # Stage 1 traces the PREVIOUS frame's BVH (received last step).
+            # Stage 1 traces the PREVIOUS frame's BVH (received last step) —
+            # BEFORE this step's stage link, so the trace has no data
+            # dependence on stage 0's concurrent build and the two stages
+            # genuinely overlap.  (Round 2 ran the ppermute between build and
+            # trace: stage 1 then waited for the CURRENT build before tracing
+            # the previous frame, serializing every step to build + trace.)
             t, tri, u, v = jax.lax.cond(
                 stage == 1,
                 trace_stage,
@@ -144,6 +148,14 @@ def render_frames_pipelined(
                     jnp.zeros((R,), jnp.float32),
                 ),
                 prev_payload,
+            )
+            # Stage 0 builds this frame; stage 1 skips the build work.
+            payload = jax.lax.cond(
+                stage == 0, build_stage, zeros_like_payload, pos_i
+            )
+            # Hand stage 0's output to stage 1 (one hop along pp).
+            payload = tuple(
+                jax.lax.ppermute(x, "pp", [(0, 1)]) for x in payload
             )
             return payload, (t, tri, u, v)
 

@@ -21,13 +21,7 @@ from unitysimpleraytracing_tpu.ops import lbvh, sort, unique
 
 
 @functools.partial(jax.jit, static_argnames=("sort_impl", "diagnostics"))
-def build_bvh(scene: Scene, sort_impl: str = "xla", diagnostics: bool = False) -> Bvh:
-    """Construct the LBVH for a scene. Requires scene.count >= 2.
-
-    ``diagnostics`` adds the parent links + per-node depth array
-    (validation only; nothing in the render path reads them)."""
-    if isinstance(scene.count, int) and scene.count < 2:
-        raise ValueError("LBVH needs at least 2 triangles (reference assumes the same)")
+def _build_bvh_jit(scene: Scene, sort_impl: str = "xla", diagnostics: bool = False) -> Bvh:
     keys, sorted_tri = sort.sort_key_val(
         scene.morton, scene.tri_index, impl=sort_impl
     )
@@ -36,6 +30,57 @@ def build_bvh(scene: Scene, sort_impl: str = "xla", diagnostics: bool = False) -
         keys, sorted_tri, scene.aabb_min, scene.aabb_max, scene.count,
         diagnostics=diagnostics,
     )
+
+
+def build_bvh(
+    scene: Scene,
+    sort_impl: str = "xla",
+    diagnostics: bool = False,
+    validate: bool = False,
+) -> Bvh:
+    """Construct the LBVH for a scene. Requires scene.count >= 2.
+
+    ``diagnostics`` adds the parent links + per-node depth array
+    (validation only; nothing in the render path reads them).
+
+    ``validate=True`` runs the promoted runtime validators in situ on the
+    user's actual scene — the reference validates every sort pass inside the
+    real pipeline the same way (ComputeBufferSorter.cs:107-125, readback +
+    permutation/order checks; MeshBufferContainer.cs:181-195 corruption
+    scan).  Host-side readbacks: debug-grade cost, raises AssertionError on
+    the first violated invariant.  Requires concrete (non-traced) inputs.
+    """
+    if isinstance(scene.count, int) and scene.count < 2:
+        raise ValueError("LBVH needs at least 2 triangles (reference assumes the same)")
+    if not validate:
+        return _build_bvh_jit(scene, sort_impl, diagnostics)
+
+    from unitysimpleraytracing_tpu.utils import validate as V
+
+    if isinstance(jnp.asarray(scene.morton), jax.core.Tracer):
+        raise ValueError("validate=True needs concrete inputs (outside jit)")
+    count = int(scene.count)
+    bvh = _build_bvh_jit(scene, sort_impl, diagnostics=True)
+    # Sort pass (re-run standalone so pre/post states are observable — the
+    # fused build never materializes them).
+    keys_sorted, tri_sorted = sort.sort_key_val(
+        scene.morton, scene.tri_index, impl=sort_impl
+    )
+    V.check_sorted(keys_sorted, count)
+    V.check_permutation(scene.morton, keys_sorted, count)
+    V.check_stability(scene.morton, scene.tri_index, keys_sorted, tri_sorted, count)
+    # DistributeKeys postcondition (BVH.compute:29's precondition).
+    V.check_unique_strictly_increasing(
+        unique.distribute_keys(keys_sorted, count), count
+    )
+    # Tree topology + refit coverage (the "CORRUPTED" scans).
+    V.check_topology(bvh)
+    V.check_depths(bvh)
+    V.check_refit(bvh, scene.aabb_min, scene.aabb_max)
+    # The validated build carries the diagnostic links either way (a
+    # superset of the diagnostics=False result; nothing downstream reads
+    # them) — no second build.
+    return bvh
 
 
 @jax.jit

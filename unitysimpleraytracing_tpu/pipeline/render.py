@@ -55,15 +55,29 @@ def _shadow_mask(scene, bvh, hits, impl, cam, tables=None):
       reordered into the same 32×32 tile-major packets before tracing
       (row-major shadow packets cost several times the tile-major trace —
       the union DFS of a 1024-ray packet spanning a whole image row is
-      huge)."""
+      huge);
+    - MISS pixels get a guaranteed-miss substitute ray (origin beyond the
+      root box's max corner on every axis, direction +x — the ring gate's
+      trick, parallel/dist.py) instead of a junk ray from the world origin:
+      the substitute's whole line stays outside the root box, so it fails
+      both root-child slabs and leaves the packet union DFS after one step,
+      and a fully-miss packet (sky tiles are spatially coherent) terminates
+      immediately.  Exact: the result is masked by ``& hits.hit`` anyway."""
     from unitysimpleraytracing_tpu.core.camera import generate_rays
     from unitysimpleraytracing_tpu.ops.dispatch import _row_major, _tile_major, occluded
 
     o, d = generate_rays(cam)  # CSE'd with camera_trace's identical call
-    p = jnp.where(hits.hit[:, None], o + hits.t[:, None] * d, 0.0)
     light = jnp.full((3,), 1.0 / jnp.sqrt(jnp.float32(3.0)), jnp.float32)
-    dirs = jnp.broadcast_to(light, p.shape)
-    origins = p + dirs * 1e-3
+    # Kept modest (~2x extent, not +1e6) so occluded()'s far-point scale —
+    # and with it the f32 precision of its ``far - eps`` threshold — is
+    # unchanged for the real shadow rays.
+    base = jnp.nan_to_num(bvh.node_aabb_max[0], posinf=0.0, neginf=0.0)
+    miss_o = base + jnp.maximum(jnp.max(jnp.abs(base)), 1.0)
+    miss_d = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+    hitm = hits.hit[:, None]
+    p = o + jnp.where(hitm, hits.t[:, None], 0.0) * d
+    dirs = jnp.where(hitm, light[None, :], miss_d[None, :])
+    origins = jnp.where(hitm, p + light[None, :] * 1e-3, miss_o[None, :])
     h, w_ = cam.height, cam.width
     if h % 32 == 0 and w_ % 32 == 0:
         occ = occluded(
