@@ -17,14 +17,17 @@ Covered configs (BASELINE.md):
   from its wired camera pose (Scene.unity:342-366).
 - build: LBVH ms at 65K AND ~1M tris; sort engines head-to-head (Gkeys/s).
 - roofline: measured ns per NODE VISIT vs the kernel's MEASURED component
-  floor (benchmarks/kernel_probe.py on this chip): the production kernel
+  floor (benchmarks/kernel_probe.py on this chip): the binary kernel
   pops 8 nodes per iteration with FOUR pipelined packed any-reductions, so
   per node ≈ 15 ns amortized reduce latency (~120 ns chain / 8) + ~32
   scalar VMEM fetches at ~3 ns issue (they partially pipeline; 4.5 ns
   un-pipelined) ≈ 96 ns + ~7 ns loop/stack share ≈ 120 ns; vector math
-  overlaps.  The
-  fraction reported is floor / measured (visit counts taken from the
-  single-pop counter variant — the same node set up to ordering effects).
+  overlaps.  The fraction reported is floor / measured (visit counts from
+  the single-pop counter variant — the same node set up to ordering
+  effects), paired with the BVH2 engine's own time.  The BVH4 production
+  kernel's analogous floor is ~210 ns per RECORD (64 fetches ≈ 192 ns +
+  15 ns amortized reduce + loop share), each record covering two collapsed
+  levels.
 """
 from __future__ import annotations
 
@@ -44,8 +47,10 @@ SORT_N = 1 << 22         # large enough that the work outweighs tunnel noise
 # v5e HBM ~819 GB/s -> ~12 Gkeys/s.  Any measurement above it is a timing
 # artifact, not a result (round 2 published a clamped-slope 1048576 Gkeys/s).
 SORT_GKEYS_CEILING = 12.0
-# Measured component floor of one node visit (see module docstring).
+# Measured component floors (see module docstring): per BVH2 node visit and
+# per BVH4 record (= two collapsed levels).
 STEP_FLOOR_NS = 120.0
+RECORD4_FLOOR_NS = 210.0
 
 
 def _sort_seconds(fn, n_keys):
@@ -125,30 +130,63 @@ def main() -> None:
     _note(f"build 65K: {build_s*1e3:.2f} ms")
     bvh = rt.build_bvh(scene)
 
+    from unitysimpleraytracing_tpu.ops.dispatch import resolve_impl
+
     trace_s = measure(lambda: rt.render_hits(scene, bvh, cam).t, iters=5)
     mrays = WIDTH * HEIGHT / trace_s / 1e6
-    _note(f"trace: {trace_s*1e3:.2f} ms = {mrays:.2f} Mrays/s")
+    engine = resolve_impl("auto", bvh.capacity)
+    _note(f"trace[{engine}]: {trace_s*1e3:.2f} ms = {mrays:.2f} Mrays/s")
     hit_frac = float(rt.render_hits(scene, bvh, cam).hit.mean())
     extra.update(
         n_tris=n_tris, rays=WIDTH * HEIGHT, hit_frac=round(hit_frac, 4),
-        lbvh_build_ms=round(build_s * 1e3, 3),
+        lbvh_build_ms=round(build_s * 1e3, 3), traversal_engine=engine,
     )
 
-    # Roofline: measured ns/step vs the kernel's vector-issue floor.
+    # The binary-record kernel head-to-head (the round-2 production engine).
     try:
+        if engine == "pallas4":
+            s2 = measure(
+                lambda: rt.render_hits(scene, bvh, cam, impl="pallas").t, iters=3
+            )
+            extra["bvh2_mrays"] = round(WIDTH * HEIGHT / s2 / 1e6, 2)
+            _note(f"trace[pallas bvh2]: {extra['bvh2_mrays']} Mrays/s")
+        else:
+            s2 = trace_s
+    except Exception as e:
+        s2 = trace_s
+        _note(f"bvh2 head-to-head skipped: {e}")
+
+    # Roofline: measured ns/step vs each kernel's component floor.
+    try:
+        from unitysimpleraytracing_tpu.ops import trace_pallas4
+
         o, d = generate_rays(cam)
         o = _tile_major(o, HEIGHT, WIDTH, 32)
         d = _tile_major(d, HEIGHT, WIDTH, 32)
         _, steps = trace_pallas.traversal_step_counts(scene, bvh, o, d)
         steps_total = int(np.asarray(steps).sum())
-        ns_per_step = trace_s * 1e9 / steps_total
+        ns_per_step = s2 * 1e9 / steps_total
         extra.update(
             traversal_steps_mean=round(steps_total / (WIDTH * HEIGHT / 1024), 1),
             traversal_ns_per_step=round(ns_per_step, 1),
             roofline_floor_fraction=round(STEP_FLOOR_NS / ns_per_step, 3),
         )
-        _note(f"steps {steps_total}, {ns_per_step:.0f} ns/step, "
+        _note(f"bvh2 steps {steps_total}, {ns_per_step:.0f} ns/step, "
               f"floor fraction {STEP_FLOOR_NS/ns_per_step:.2f}")
+        if engine == "pallas4":
+            # BVH4 records per packet (popn=1 counter — same record set).
+            _, rec4 = trace_pallas4.traverse_packets_pallas4(
+                scene, bvh, o, d, popn=1, count_steps=True
+            )
+            rec4_total = int(np.asarray(rec4).sum())
+            ns_per_rec = trace_s * 1e9 / rec4_total
+            extra.update(
+                bvh4_records_mean=round(rec4_total / (WIDTH * HEIGHT / 1024), 1),
+                bvh4_ns_per_record=round(ns_per_rec, 1),
+                bvh4_floor_fraction=round(RECORD4_FLOOR_NS / ns_per_rec, 3),
+            )
+            _note(f"bvh4 records {rec4_total}, {ns_per_rec:.0f} ns/record, "
+                  f"floor fraction {RECORD4_FLOOR_NS/ns_per_rec:.2f}")
     except Exception as e:  # pragma: no cover - keep the bench alive
         _note(f"roofline skipped: {e}")
 
@@ -196,6 +234,9 @@ def main() -> None:
         )
         extra["chunked_1m_mrays"] = round(WIDTH * HEIGHT / s / 1e6, 2)
         extra["chunked_1m_chunks"] = cbvh.num_chunks
+        extra["chunked_1m_format"] = (
+            "bvh4" if cbvh.tables.shape[-1] == 64 else "bvh2"
+        )
         _note(f"chunked 1M trace: {extra['chunked_1m_mrays']} Mrays/s")
         del big, cbvh
     except Exception as e:

@@ -1,0 +1,102 @@
+"""BVH2 vs BVH4 (wide-record) traversal A/B on the real chip (VERDICT r2
+next-round item 5): same scene, same rays, both kernels, Mrays/s head to head.
+
+    python benchmarks/bvh4_ab.py [--res 182] [--popns 1 2 4] [--pack 0]
+    # res 182 -> 65,522 tris (config 2); res 362 -> 260,642 (config 3 class)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WIDTH = HEIGHT = 512
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=182)
+    ap.add_argument("--popns", type=int, nargs="+", default=[1, 2, 4])
+    ap.add_argument("--pack", type=int, default=0, help="0 = auto")
+    ap.add_argument("--skip-bvh2", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+    import numpy as np
+
+    import unitysimpleraytracing_tpu as rt
+    from unitysimpleraytracing_tpu.core.camera import generate_rays
+    from unitysimpleraytracing_tpu.ops import trace_pallas, trace_pallas4
+    from unitysimpleraytracing_tpu.ops.dispatch import _tile_major
+    from unitysimpleraytracing_tpu.utils.profiling import measure
+
+    mesh = rt.terrain_mesh(res=args.res, size=80.0, amplitude=9.0, seed=0)
+    scene = rt.build_scene(mesh)
+    bvh = rt.build_bvh(scene)
+    cam = rt.make_camera(
+        eye=(55.0, 45.0, 70.0), target=(0.0, 0.0, 0.0),
+        width=WIDTH, height=HEIGHT, fov_deg=60.0,
+    )
+    o, d = generate_rays(cam)
+    o = _tile_major(o, HEIGHT, WIDTH, 32)
+    d = _tile_major(d, HEIGHT, WIDTH, 32)
+    R = WIDTH * HEIGHT
+
+    out = {"n_tris": scene.count, "rays": R,
+           "device": str(jax.devices()[0])}
+    print(f"[ab] scene {scene.count} tris", file=sys.stderr, flush=True)
+
+    ref = None
+    if not args.skip_bvh2:
+        tables2 = trace_pallas.prepare_tables(scene, bvh)
+        pack2 = trace_pallas.auto_pack(bvh.capacity)
+
+        def run2():
+            return trace_pallas.traverse_packets_pallas(
+                scene, bvh, o, d, tables=tables2
+            ).t
+
+        s = measure(run2, iters=3)
+        out["bvh2"] = {"pack": pack2, "mrays": round(R / s / 1e6, 2),
+                       "ms": round(s * 1e3, 2)}
+        print(f"[ab] bvh2 pack={pack2}: {out['bvh2']['mrays']} Mrays/s",
+              file=sys.stderr, flush=True)
+        ref = run2()
+
+    pack4 = args.pack or trace_pallas4.auto_pack4(bvh.capacity)
+    tables4 = trace_pallas4.prepare_tables4(scene, bvh, pack=pack4)
+    cap4, _ = trace_pallas4.table_geometry(tables4)
+    out["bvh4_records"] = cap4
+    out["bvh4_vmem_mb"] = round(cap4 * (512 if pack4 == 1 else 256) / 2**20, 1)
+    for popn in args.popns:
+        def run4(p=popn):
+            return trace_pallas4.traverse_packets_pallas4(
+                scene, bvh, o, d, tables=tables4, popn=p
+            ).t
+
+        s = measure(run4, iters=3)
+        key = f"bvh4_pack{pack4}_popn{popn}"
+        out[key] = {"mrays": round(R / s / 1e6, 2), "ms": round(s * 1e3, 2)}
+        print(f"[ab] {key}: {out[key]['mrays']} Mrays/s",
+              file=sys.stderr, flush=True)
+        if ref is not None:
+            got = run4()
+            t_r, t_g = np.asarray(ref), np.asarray(got)
+            hit = t_r != rt.constants.MAX_FLOAT
+            ok = bool(np.array_equal(t_g != rt.constants.MAX_FLOAT, hit))
+            ok = ok and bool(np.allclose(t_g[hit], t_r[hit], rtol=4e-6, atol=0))
+            out[key]["parity_vs_bvh2"] = ok
+
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

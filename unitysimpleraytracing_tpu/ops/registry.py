@@ -14,7 +14,9 @@ Stages and their engines:
                 "pallas" (MXU radix kernels, ops/sort_pallas)
 - ``scan``:     "xla" (cumsum), "pallas" (single-kernel scan, ops/scan_pallas)
 - ``traverse``: "perray" (per-ray stacks), "packet" (XLA shared-stack),
-                "pallas" (SMEM-stack kernel, ops/trace_pallas)
+                "pallas" (binary-record SMEM-stack kernel, ops/trace_pallas),
+                "pallas4" (4-child wide-record kernel, ops/trace_pallas4 —
+                the production engine)
 - ``exchange``: the multi-device ray-exchange strategies (parallel/dist):
                 "gather" (all_gather combine), "ring" (ppermute
                 circulation), "shuffle" (ragged all-to-all routing)
@@ -66,6 +68,7 @@ def _register_builtins() -> None:
         trace,
         trace_packet,
         trace_pallas,
+        trace_pallas4,
     )
 
     register("sort", "xla", lambda k, v: jax.lax.sort_key_val(k, v, is_stable=True))
@@ -81,6 +84,7 @@ def _register_builtins() -> None:
     register("traverse", "perray", trace.traverse)
     register("traverse", "packet", trace_packet.traverse_packets)
     register("traverse", "pallas", trace_pallas.traverse_packets_pallas)
+    register("traverse", "pallas4", trace_pallas4.traverse_packets_pallas4)
 
     from unitysimpleraytracing_tpu.parallel import dist
 

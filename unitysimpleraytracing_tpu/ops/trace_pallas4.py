@@ -1,0 +1,592 @@
+"""Wide-record (BVH4) Pallas traversal — the per-visit-floor attack.
+
+The BVH2 kernel (ops/trace_pallas.py) measures at ~0.78 of its own per-visit
+component floor, so the next win must cut VISITS, not the visit: this kernel
+pops a 4-child record per stack entry, built by collapsing Karras pairs — one
+scalar fetch + four slab tests advance a ray TWO tree levels.  Per node-pair
+visited it replaces 2 record fetches, 2 stack pops/pushes and 2 packed
+reductions with 1 of each.
+
+Structure (bit-compatible hit contract with the BVH2 kernel up to traversal-
+order ties — same bound as BASELINE's parity bar):
+
+- **Node set**: internal Karras nodes at EVEN depth (root = 0).  Each BVH4
+  node X expands its two BVH2 children in place: an internal child
+  contributes its OWN two children (X's grandchildren) as entries, a leaf
+  child contributes itself, the vacant slot is an inert EMPTY entry
+  (inverted box → slab always fails; leaf bit + zero verts → det==0 reject).
+  Internal entries are even-depth nodes again, so traversal only ever sees
+  BVH4 nodes.  Even-depth node count is ≤ (2n-1)/3 (each non-root even node
+  has an odd parent, each odd node an even parent), and ~n/3 for balanced
+  trees — the table is allocated at the ACTUAL compacted count (host-known
+  scene), cutting VMEM per triangle ~3x vs the BVH2 record at equal fetch
+  form.
+- **Record = 64 f32 slots** (4 child boxes 24, 4 metas 4, 4×9 embedded leaf
+  vertices 36).  ``pack=1``: one record per 128-lane row (512 B/record,
+  static-lane scalar fetch — the SAME bytes/record as the BVH2 flat layout,
+  at less than half the records, so the fast fetch form now covers ~260K-tri
+  scenes: config 3 no longer needs a switch fetch).  ``pack=2``: two records
+  per row, 256 B/record, 2-way-switch fetch, ~600K tris.
+- **Meta slot** (f32-exact, < 2^24): ``idx + is_leaf<<21 + axis<<22`` where
+  idx is the entry's BVH4 node id (internal) or triangle id (leaf); meta0's
+  axis is X's own split axis (orders the two pairs), meta1/meta2's axes are
+  X's left/right BVH2 children's split axes (order within each pair) — the
+  same build-time near-child ordering as the BVH2 kernel, extended to the
+  4-way push with zero per-step reductions.
+
+Traversal order within a record: nearest-first over
+(pair by X's axis) × (entry by the pair's axis), pushed in reverse; the
+strict-< hit keep makes order affect only exact-t ties.
+
+Reference mapping: same acceptance contract as Raytracing.compute:37-103
+(slab ``tmax>tmin && tmax>0``, Möller–Trumbore det/u/v rejects, no t>0 test),
+reached through two collapsed levels per iteration instead of one.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from unitysimpleraytracing_tpu import constants as C
+from unitysimpleraytracing_tpu.core.types import Bvh, HitRecord, Scene
+from unitysimpleraytracing_tpu.ops import lbvh
+from unitysimpleraytracing_tpu.ops.trace_pallas import (
+    _LANE,
+    _SUB,
+    MAX_PACKETS_PER_CALL,
+    _d3d_max,
+    _d3d_min,
+)
+
+_SLOTS4 = 64
+# A record is 512 B at pack=1 (64 slots padded to 128 lanes) / 256 B dense at
+# pack=2; records ≈ n/3 for balanced trees → auto thresholds on TRIANGLES:
+FLAT4_MAX_CAPACITY = 280_000    # pack=1 static-lane fetch
+PACKED4_MAX_CAPACITY = 580_000  # pack=2 2-way switch
+
+
+def auto_pack4(capacity: int) -> int:
+    return 1 if capacity <= FLAT4_MAX_CAPACITY else 2
+
+
+def bvh4_node_mask(bvh: Bvh):
+    """(mask, new_id): even-depth internal nodes and their compacted ids."""
+    cap = bvh.left.shape[0]
+    ids = jnp.arange(cap, dtype=jnp.int32)
+    valid = ids < bvh.count - 1
+    # Parent links may be absent (-1-filled non-diagnostic build): recompute.
+    drop = jnp.int32(cap)
+    iparent = jnp.full(cap, -1, jnp.int32)
+    li = jnp.where(valid & ~bvh.left_is_leaf, bvh.left, drop)
+    ri = jnp.where(valid & ~bvh.right_is_leaf, bvh.right, drop)
+    iparent = iparent.at[li].set(ids, mode="drop")
+    iparent = iparent.at[ri].set(ids, mode="drop")
+    depth = lbvh.compute_depths(iparent, bvh.count)
+    mask = valid & (depth % 2 == 0)
+    new_id = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    return mask, new_id
+
+
+@functools.partial(jax.jit, static_argnames=("pack", "cap4"))
+def pack_tables4(scene: Scene, bvh: Bvh, pack: int = 1, cap4: int | None = None):
+    """Flatten scene+BVH into the 4-child record table (see module doc).
+
+    ``cap4`` is the static record count (host-computed actual even-depth node
+    count, padded; defaults to the worst-case (2·cap+1)/3 bound)."""
+    cap = bvh.capacity
+    assert pack in (1, 2)
+    if cap4 is None:
+        cap4 = (2 * cap) // 3 + 2
+    cap4 = -(-cap4 // pack) * pack
+    assert cap4 < (1 << 21), "meta packing needs node ids < 2^21"
+    assert cap < (1 << 21), "meta packing needs triangle ids < 2^21"
+
+    mask, new_id = bvh4_node_mask(bvh)
+    ids = jnp.arange(cap, dtype=jnp.int32)
+
+    Lc = jnp.clip(bvh.left, 0, cap - 1)
+    Rc = jnp.clip(bvh.right, 0, cap - 1)
+    Ll, Rl = bvh.left_is_leaf, bvh.right_is_leaf
+
+    def grand(c):
+        """BVH2 children of node c (as entry candidates)."""
+        gl = jnp.clip(bvh.left[c], 0, cap - 1)
+        gr = jnp.clip(bvh.right[c], 0, cap - 1)
+        return gl, bvh.left_is_leaf[c], gr, bvh.right_is_leaf[c]
+
+    LL, LLl, LR, LRl = grand(Lc)
+    RL, RLl, RR, RRl = grand(Rc)
+
+    t = scene.triangles
+    BIG = jnp.float32(3.0e38)
+
+    def entry(node2, is_leaf, present):
+        """One record entry from BVH2 node ``node2`` (leaf or even-depth
+        internal); ``present=False`` → inert EMPTY entry."""
+        tri = bvh.sorted_tri[node2]
+        idx = jnp.where(is_leaf, tri, new_id[node2])
+        bmin = jnp.where(
+            is_leaf[:, None], scene.aabb_min[tri], bvh.node_aabb_min[node2]
+        )
+        bmax = jnp.where(
+            is_leaf[:, None], scene.aabb_max[tri], bvh.node_aabb_max[node2]
+        )
+        p = present[:, None]
+        bmin = jnp.where(p, bmin, BIG)
+        bmax = jnp.where(p, bmax, -BIG)
+        leaf_bit = jnp.where(present, is_leaf.astype(jnp.int32), 1)
+        idx = jnp.where(present, idx, 0)
+        m = (present & is_leaf)[:, None]
+        va = jnp.where(m, t.a[tri], 0.0)
+        vb = jnp.where(m, t.b[tri], 0.0)
+        vc = jnp.where(m, t.c[tri], 0.0)
+        return bmin, bmax, idx, leaf_bit, va, vb, vc
+
+    true_ = jnp.ones((cap,), bool)
+    e0 = entry(jnp.where(Ll, Lc, LL), jnp.where(Ll, True, LLl), true_)
+    e1 = entry(LR, LRl, ~Ll)
+    e2 = entry(jnp.where(Rl, Rc, RL), jnp.where(Rl, True, RLl), true_)
+    e3 = entry(RR, RRl, ~Rl)
+
+    # Near-child ordering axes: record's own split axis + each pair's axis.
+    ax_self = jnp.clip(bvh.split_axis, 0, 2)
+    ax_l = jnp.where(Ll, 0, jnp.clip(bvh.split_axis[Lc], 0, 2))
+    ax_r = jnp.where(Rl, 0, jnp.clip(bvh.split_axis[Rc], 0, 2))
+    axes = (ax_self, ax_l, ax_r, jnp.zeros((cap,), jnp.int32))
+
+    metas = [
+        (e[2] + (e[3] << 21) + (ax << 22)).astype(jnp.float32)[:, None]
+        for e, ax in zip((e0, e1, e2, e3), axes)
+    ]
+
+    # Cull-margin widening for scene extents beyond the tested ~8e3 bound —
+    # identical policy to trace_pallas.pack_tables.
+    root = jnp.maximum(
+        jnp.max(jnp.abs(bvh.node_aabb_min[0])), jnp.max(jnp.abs(bvh.node_aabb_max[0]))
+    )
+    widen = jnp.maximum(root - 8192.0, 0.0) * 4e-6
+
+    records = jnp.concatenate(
+        [e0[0] - widen, e0[1] + widen,
+         e1[0] - widen, e1[1] + widen,
+         e2[0] - widen, e2[1] + widen,
+         e3[0] - widen, e3[1] + widen]
+        + metas
+        + [e0[4], e0[5], e0[6], e1[4], e1[5], e1[6],
+           e2[4], e2[5], e2[6], e3[4], e3[5], e3[6]],
+        axis=1,
+    )  # (cap, 64): boxes 0-23, metas 24-27, verts 28-63
+
+    # Compact mask rows to their new ids; gather in 8-column groups (wide
+    # row gathers degrade ~100x at ~30 columns on v5e).
+    src = jnp.zeros((cap4,), jnp.int32).at[
+        jnp.where(mask, new_id, cap4)
+    ].set(ids, mode="drop")
+    table = jnp.concatenate(
+        [records[:, c:c + 8][src] for c in range(0, _SLOTS4, 8)], axis=1
+    )
+    if pack == 1:
+        return table
+    return table.reshape(cap4 // pack, pack * _SLOTS4)
+
+
+def _fetch4(tab, k, lo, hi, pack):
+    """Scalar slots [lo, hi) of record k (static lane at pack=1; 2-way
+    switch at pack=2 — one switch covering the whole requested range)."""
+    if pack == 1:
+        return tuple(tab[k, c] for c in range(lo, hi))
+    r = k // 2
+
+    def make(j):
+        def branch(_):
+            return tuple(tab[r, j * _SLOTS4 + c] for c in range(lo, hi))
+
+        return branch
+
+    return jax.lax.switch(k % 2, [make(0), make(1)], None)
+
+
+def _make_kernel4(pack, count_steps=False, popn=2, rows=_SUB):
+    assert popn in (1, 2, 4, 8)
+
+    def _kernel(nodes, rays, out, *rest):
+        if count_steps:
+            steps_out, stack = rest
+        else:
+            (stack,) = rest
+        shape = (rows, _LANE)
+        packet = rows * _LANE
+
+        def row(k):
+            return rays[0, k].reshape(shape)
+
+        origin = (row(0), row(1), row(2))
+        direc = (row(3), row(4), row(5))
+        inv = tuple(1.0 / c for c in direc)
+        thr = row(7)
+
+        def anyhit_collapse(t):
+            return jnp.where((thr > 0) & (t < thr), jnp.float32(0.0), t)
+
+        sgn = tuple(
+            jnp.sum(jnp.where(c > 0, 1, -1)) >= 0 for c in direc
+        )
+
+        def axis_near(ax):
+            sx, sy, sz = sgn
+            return jnp.where(ax == 0, sx, jnp.where(ax == 1, sy, sz))
+
+        def slab(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz, t_cur):
+            ox, oy, oz = origin
+            ix, iy, iz = inv
+            t1x = (bminx - ox) * ix
+            t2x = (bmaxx - ox) * ix
+            t1y = (bminy - oy) * iy
+            t2y = (bmaxy - oy) * iy
+            t1z = (bminz - oz) * iz
+            t2z = (bmaxz - oz) * iz
+            tmin = _d3d_max(
+                _d3d_min(t1x, t2x), _d3d_max(_d3d_min(t1y, t2y), _d3d_min(t1z, t2z))
+            )
+            tmax = _d3d_min(
+                _d3d_max(t1x, t2x), _d3d_min(_d3d_max(t1y, t2y), _d3d_max(t1z, t2z))
+            )
+            return (tmax > tmin) & (tmax > 0) & (tmin < t_cur)
+
+        def leaf_test(tri_idx, verts, gate, state):
+            ox, oy, oz = origin
+            dx, dy, dz = direc
+            t_cur, tri_cur, u_cur, v_cur = state
+            (ax, ay, az, bx, by, bz, cx, cy, cz) = verts
+            e1x, e1y, e1z = bx - ax, by - ay, bz - az
+            e2x, e2y, e2z = cx - ax, cy - ay, cz - az
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = 1.0 / det
+            tvx, tvy, tvz = ox - ax, oy - ay, oz - az
+            u = (tvx * px + tvy * py + tvz * pz) * inv_det
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t_new = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            reject = (
+                ((det < 1e-8) & (det > -1e-8))
+                | ((u < 0) | (u > 1))
+                | ((v < 0) | (u + v > 1))
+            )
+            t_new = jnp.where(reject, jnp.float32(C.MAX_FLOAT), t_new)
+            accept = gate & (t_new < t_cur)
+            return (
+                jnp.where(accept, t_new, t_cur),
+                jnp.where(accept, tri_idx, tri_cur),
+                jnp.where(accept, u, u_cur),
+                jnp.where(accept, v, v_cur),
+            )
+
+        stack[0, 0] = 0
+
+        def cond(carry):
+            return carry[0] > 0
+
+        def step(carry):
+            sp, t, tri, u, v, nsteps = carry
+            # Pop up to popn records (dead pops read record 0, masked).
+            alives, ks = [], []
+            for _ in range(popn):
+                alive = sp > 0
+                sp = jnp.where(alive, sp - 1, sp)
+                ks.append(jnp.where(alive, stack[0, sp], 0))
+                alives.append(alive)
+
+            # pack=1: plain scalar loads — split the fetch so the vert loads
+            # issue after the slabs start.  pack=2: ONE switch covering the
+            # whole 64-slot record (splitting a packed fetch into multiple
+            # switches measured 3x slower on the BVH2 layouts).
+            split = pack == 1
+            recs, masks = [], []
+            for i in range(popn):
+                rec = _fetch4(nodes, ks[i], 0, 28 if split else 64, pack)
+                for e in range(4):
+                    m = slab(*rec[6 * e:6 * e + 6], t)
+                    masks.append(m & alives[i])
+                recs.append(rec)
+
+            # One packed cross-lane reduce per record → its 4 any-bits
+            # (8-bit fields, counts ≤ rows ≤ 32; chains pipeline).
+            anys = []
+            for i in range(popn):
+                grp = masks[4 * i:4 * i + 4]
+                packed = grp[0].astype(jnp.int32)
+                for j in range(1, 4):
+                    packed = packed + (grp[j].astype(jnp.int32) << (8 * j))
+                part = jnp.sum(packed, axis=0, keepdims=True)
+                bits = ((part & 255) > 0).astype(jnp.int32)
+                for j in range(1, 4):
+                    bits = bits + (
+                        (((part >> (8 * j)) & 255) > 0).astype(jnp.int32)
+                        << (8 * j)
+                    )
+                s = jnp.sum(bits)
+                for j in range(4):
+                    anys.append(((s >> (8 * j)) & 255) > 0)
+
+            # Decode metas + leaf tests in place.
+            metas = []
+            for i in range(popn):
+                mt = [recs[i][24 + e].astype(jnp.int32) for e in range(4)]
+                idxs = [m & ((1 << 21) - 1) for m in mt]
+                leafs = [((m >> 21) & 1) == 1 for m in mt]
+                ax_self = mt[0] >> 22
+                ax_l = mt[1] >> 22
+                ax_r = mt[2] >> 22
+                metas.append((idxs, leafs, ax_self, ax_l, ax_r))
+
+            for i in range(popn):
+                verts = (
+                    _fetch4(nodes, ks[i], 28, 64, pack) if split else recs[i][28:64]
+                )
+                idxs, leafs, _, _, _ = metas[i]
+                for e in range(4):
+                    t, tri, u, v = leaf_test(
+                        idxs[e], verts[9 * e:9 * e + 9],
+                        masks[4 * i + e] & leafs[e], (t, tri, u, v),
+                    )
+
+            t = anyhit_collapse(t)
+
+            # Push internal entries farthest-first (near order = pair by the
+            # record's axis, entry by the pair's axis), reverse pop order so
+            # the first pop's nearest entry ends topmost.
+            for i in reversed(range(popn)):
+                idxs, leafs, ax_self, ax_l, ax_r = metas[i]
+                push = [
+                    anys[4 * i + e] & ~leafs[e] for e in range(4)
+                ]
+                nl = axis_near(ax_l)
+                nr = axis_near(ax_r)
+                npair = axis_near(ax_self)
+
+                def ordered(a, b, near):
+                    return (
+                        jnp.where(near, a[0], b[0]), jnp.where(near, a[1], b[1]),
+                        jnp.where(near, b[0], a[0]), jnp.where(near, b[1], a[1]),
+                    )
+
+                l0i, l0p, l1i, l1p = ordered(
+                    (idxs[0], push[0]), (idxs[1], push[1]), nl
+                )
+                r0i, r0p, r1i, r1p = ordered(
+                    (idxs[2], push[2]), (idxs[3], push[3]), nr
+                )
+                s0i, s0p, s2i, s2p = (
+                    jnp.where(npair, l0i, r0i), jnp.where(npair, l0p, r0p),
+                    jnp.where(npair, r0i, l0i), jnp.where(npair, r0p, l0p),
+                )
+                s1i, s1p, s3i, s3p = (
+                    jnp.where(npair, l1i, r1i), jnp.where(npair, l1p, r1p),
+                    jnp.where(npair, r1i, l1i), jnp.where(npair, r1p, l1p),
+                )
+                for ii, pp in ((s3i, s3p), (s2i, s2p), (s1i, s1p), (s0i, s0p)):
+                    stack[0, sp] = ii
+                    sp = sp + jnp.where(pp, 1, 0)
+
+            return (sp, t, tri, u, v, nsteps + 1)
+
+        tri0 = jnp.zeros(shape, jnp.int32)
+        z = jnp.zeros(shape, jnp.float32)
+        init = (jnp.int32(1), row(6), tri0, z, z, jnp.int32(0))
+        _, t, tri, u, v, nsteps = jax.lax.while_loop(cond, step, init)
+        if count_steps:
+            steps_out[pl.program_id(0), 0] = nsteps
+
+        out[0, 0] = t.reshape(packet)
+        out[0, 1] = pltpu.bitcast(tri, jnp.float32).reshape(packet)
+        out[0, 2] = u.reshape(packet)
+        out[0, 3] = v.reshape(packet)
+
+    return _kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _traversal_fn4(
+    T: int, cap4: int, pack: int, interpret: bool,
+    count_steps: bool = False, popn: int = 2, rows: int = _SUB,
+):
+    packet = rows * _LANE
+    tab_shape = (cap4, _SLOTS4) if pack == 1 else (cap4 // 2, 2 * _SLOTS4)
+    out_shape = [jax.ShapeDtypeStruct((T, 4, packet), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec((1, 4, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    ]
+    if count_steps:
+        out_shape.append(jax.ShapeDtypeStruct((T, 1), jnp.int32))
+        out_specs.append(
+            pl.BlockSpec((T, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        )
+    call = pl.pallas_call(
+        _make_kernel4(pack, count_steps, popn, rows),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(tab_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs if count_steps else out_specs[0],
+        out_shape=out_shape if count_steps else out_shape[0],
+        # 4-ary DFS stack bound: ≤ 3 entries per level over ≤32 collapsed
+        # levels, times the popn interleave.
+        scratch_shapes=[
+            pltpu.SMEM((1, 2 * C.TRAVERSAL_STACK_DEPTH * max(popn, 1)), jnp.int32)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def run(nodes, origins, dirs, t_init=None, anyhit=None):
+        R = T * packet
+        t_row = (
+            jnp.full((1, R), C.MAX_FLOAT, jnp.float32)
+            if t_init is None
+            else t_init.reshape(1, R)
+        )
+        thr_row = (
+            jnp.zeros((1, R), jnp.float32)
+            if anyhit is None
+            else anyhit.reshape(1, R)
+        )
+        rays = jnp.concatenate([origins.T, dirs.T, t_row, thr_row], axis=0)
+        rays = rays.reshape(8, T, packet).transpose(1, 0, 2)
+        res = call(nodes, rays)
+        out, steps = res if count_steps else (res, None)
+        out = out.transpose(1, 0, 2).reshape(4, R)
+        tri = jax.lax.bitcast_convert_type(out[1], jnp.int32)
+        if count_steps:
+            return out[0], tri, out[2], out[3], steps
+        return out[0], tri, out[2], out[3]
+
+    return run
+
+
+# id(bvh) -> (weakref(bvh), weakref(scene), pack, cap4, tables)
+_TABLE4_CACHE: dict = {}
+
+
+def table_geometry(tables) -> tuple[int, int]:
+    """(cap4, pack) recovered from a packed table's static shape
+    (pack=1 → (cap4, 64); pack=2 → (cap4/2, 128))."""
+    if tables.shape[1] == _SLOTS4:
+        return tables.shape[0], 1
+    assert tables.shape[1] == 2 * _SLOTS4, tables.shape
+    return 2 * tables.shape[0], 2
+
+
+def prepare_tables4(scene: Scene, bvh: Bvh, pack: int | None = None):
+    """BVH4 kernel table for (scene, bvh), cached per Bvh instance.
+
+    The table is sized to the scene's ACTUAL compacted even-depth node count
+    (host-read scalar, padded to the pack multiple), not the worst-case
+    (2n+1)/3 bound — cap4 is recoverable from the static shape
+    (`table_geometry`).  Inside a jit trace the worst-case bound is used
+    (the count is not host-readable there)."""
+    import weakref
+
+    if pack is None:
+        pack = auto_pack4(bvh.capacity)
+    if isinstance(jnp.asarray(bvh.left), jax.core.Tracer):
+        cap4 = (2 * bvh.capacity) // 3 + 2
+        cap4 = -(-cap4 // pack) * pack
+        return pack_tables4(scene, bvh, pack=pack, cap4=cap4)
+    key = id(bvh)
+    ent = _TABLE4_CACHE.get(key)
+    if (
+        ent is not None
+        and ent[0]() is bvh
+        and ent[1]() is scene
+        and ent[2] == pack
+    ):
+        return ent[3]
+    mask, _ = bvh4_node_mask(bvh)
+    cap4 = int(jnp.sum(mask))
+    cap4 = max(-(-cap4 // pack) * pack, pack)
+    tables = pack_tables4(scene, bvh, pack=pack, cap4=cap4)
+    try:
+        bvh_ref = weakref.ref(bvh, lambda _r, _k=key: _TABLE4_CACHE.pop(_k, None))
+        scene_ref = weakref.ref(scene)
+    except TypeError:
+        return tables
+    _TABLE4_CACHE[key] = (bvh_ref, scene_ref, pack, tables)
+    return tables
+
+
+def traverse_packets_pallas4(
+    scene: Scene,
+    bvh: Bvh,
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    interpret: bool = False,
+    tables=None,
+    cap4: int | None = None,
+    pack: int | None = None,
+    popn: int | None = None,
+    rows: int = _SUB,
+    count_steps: bool = False,
+    t_init: jnp.ndarray | None = None,
+    anyhit_thresh: jnp.ndarray | None = None,
+) -> HitRecord:
+    """BVH4 kernel nearest-hit traversal over (R, 3) rays (see module doc).
+
+    Same contract as trace_pallas.traverse_packets_pallas: R must be a
+    multiple of rows*128, coherent ray order expected, ``t_init`` seeds the
+    running best, ``anyhit_thresh`` enables occlusion early-exit.  ``tables``
+    carries a prepare_tables4 result (cap4/pack recovered from its shape)."""
+    R = origins.shape[0]
+    packet = rows * _LANE
+    assert R % packet == 0, f"{R} rays not divisible by {packet}"
+    T = R // packet
+    if pack is None:
+        pack = auto_pack4(bvh.capacity)
+    if tables is None:
+        tables = prepare_tables4(scene, bvh, pack=pack)
+    if cap4 is None:
+        cap4, pack = table_geometry(tables)
+    if popn is None:
+        # Measured on v5e at 512² (same-session A/Bs, benchmarks/bvh4_ab.py):
+        # 65K tris popn 1/2/4/8 → 20.98/28.8/33.77/36.82 Mrays/s; 260K tris
+        # popn 2/4 → 11.4/13.96.  The 2-way-switch fetch (pack=2) erodes
+        # deep multi-pop like the BVH2 layouts did — keep it shallow.
+        popn = {1: 8, 2: 2}[pack]
+
+    max_packets = max(1, MAX_PACKETS_PER_CALL * _SUB // rows)
+    outs = []
+    steps_acc = []
+    for lo in range(0, T, max_packets):
+        Tseg = min(max_packets, T - lo)
+        run = _traversal_fn4(Tseg, cap4, pack, interpret, count_steps, popn, rows)
+        sl = slice(lo * packet, (lo + Tseg) * packet)
+        res = run(
+            tables, origins[sl], dirs[sl],
+            None if t_init is None else t_init[sl],
+            None if anyhit_thresh is None else anyhit_thresh[sl],
+        )
+        if count_steps:
+            *res, steps = res
+            steps_acc.append(steps)
+        outs.append(tuple(res))
+    if len(outs) == 1:
+        t, tri, u, v = outs[0]
+    else:
+        t, tri, u, v = (jnp.concatenate(parts) for parts in zip(*outs))
+    hits = HitRecord(t=t, tri=tri, u=u, v=v)
+    if count_steps:
+        return hits, jnp.concatenate(steps_acc)
+    return hits

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from unitysimpleraytracing_tpu import constants as C
 from unitysimpleraytracing_tpu.core.types import Bvh, HitRecord, Scene, Triangles
-from unitysimpleraytracing_tpu.ops import trace_pallas
+from unitysimpleraytracing_tpu.ops import trace_pallas, trace_pallas4
 from unitysimpleraytracing_tpu.ops.dispatch import trace_rays
 from unitysimpleraytracing_tpu.parallel import dist
 
@@ -49,15 +49,22 @@ class ChunkedBvh:
         return self.sscene.shard_capacity
 
 
-@functools.partial(jax.jit, static_argnames=("chunk_capacity",))
-def build_bvh_chunked(scene: Scene, chunk_capacity: int = 163840) -> ChunkedBvh:
+@functools.partial(jax.jit, static_argnames=("chunk_capacity", "record_format"))
+def build_bvh_chunked(
+    scene: Scene, chunk_capacity: int = 163840, record_format: str = "bvh4"
+) -> ChunkedBvh:
     """Partition + build one LBVH per chunk (vmapped over chunks).
 
     Fully jittable: the count-balanced partition runs on device
     (dist._partition_scene_device), so the 1M-triangle flow never leaves
     the chip.  The default chunk capacity keeps every chunk in the FLAT
     table layout (fast static-lane fetch) — measured 1.4x faster at 1M tris
-    than two 512K packed chunks despite the extra kernel launches."""
+    than two 512K packed chunks despite the extra kernel launches.
+
+    ``record_format``: "bvh4" packs the wide 4-child records (the production
+    kernel — measured 2.5x the binary kernel at 260K tris, trace_pallas4);
+    "bvh2" keeps the binary records.  The table shape tells trace_chunked
+    which kernel to launch."""
     n = scene.count
     num_chunks = max(-(-n // chunk_capacity), 1)
     sscene = dist.partition_scene(scene, num_chunks)
@@ -65,15 +72,29 @@ def build_bvh_chunked(scene: Scene, chunk_capacity: int = 163840) -> ChunkedBvh:
         sscene.morton, sscene.aabb_min, sscene.aabb_max, sscene.counts
     )
     cap = sscene.shard_capacity
-    tables = jnp.stack(
-        [
-            trace_pallas.pack_tables(
-                _chunk_scene(sscene, s, cap), _chunk_bvh(bvhs, s, cap),
-                pack=trace_pallas.auto_pack(cap),
-            )
-            for s in range(num_chunks)
-        ]
-    )
+    if record_format == "bvh4":
+        # Static worst-case record bound (≤ (2n+1)/3 even-depth nodes);
+        # unreachable padding rows are inert.
+        cap4 = (2 * cap) // 3 + 2
+        tables = jnp.stack(
+            [
+                trace_pallas4.pack_tables4(
+                    _chunk_scene(sscene, s, cap), _chunk_bvh(bvhs, s, cap),
+                    pack=1, cap4=cap4,
+                )
+                for s in range(num_chunks)
+            ]
+        )
+    else:
+        tables = jnp.stack(
+            [
+                trace_pallas.pack_tables(
+                    _chunk_scene(sscene, s, cap), _chunk_bvh(bvhs, s, cap),
+                    pack=trace_pallas.auto_pack(cap),
+                )
+                for s in range(num_chunks)
+            ]
+        )
     return ChunkedBvh(sscene=sscene, bvhs=bvhs, tables=tables)
 
 
@@ -127,6 +148,12 @@ def trace_chunked(
     """
     S, cap = cbvh.num_chunks, cbvh.capacity
     R = origins.shape[0]
+    if impl == "auto" and jax.default_backend() == "tpu":
+        # The packed record format decides the kernel: 32/128-wide rows are
+        # binary records, 64-wide rows are BVH4 records (the binary packed
+        # layout and the BVH4 pack=2 layout are both 128-wide — the chunked
+        # builder only ever emits BVH4 at pack=1, so the shapes disambiguate).
+        impl = "pallas4" if cbvh.tables.shape[-1] == 64 else "pallas"
     # Distance from the representative origin to each chunk's root box
     # (camera rays share one origin; for mixed batches the mean is only a
     # scheduling heuristic — results are exact for any order).

@@ -23,6 +23,10 @@ def _prepared(scene: Scene, bvh: Bvh, impl: str):
     """Pack the kernel tables once per (scene, bvh) OUTSIDE the frame jit —
     the Awake/Update split of the reference (tables are frame-invariant,
     RaytracingMeshDrawer.cs:30-84); per-frame packing costs ~4 ms."""
+    if impl == "pallas4":
+        from unitysimpleraytracing_tpu.ops import trace_pallas4
+
+        return trace_pallas4.prepare_tables4(scene, bvh)
     if impl == "pallas":
         return trace_pallas.prepare_tables(scene, bvh)
     return None
