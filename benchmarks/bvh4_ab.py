@@ -21,6 +21,8 @@ def main(argv=None):
     ap.add_argument("--res", type=int, default=182)
     ap.add_argument("--popns", type=int, nargs="+", default=[1, 2, 4])
     ap.add_argument("--pack", type=int, default=0, help="0 = auto")
+    ap.add_argument("--rows", type=int, default=8,
+                    help="packet height in 128-lane sublanes (8 = 1024 rays)")
     ap.add_argument("--skip-bvh2", action="store_true")
     args = ap.parse_args(argv)
 
@@ -78,11 +80,12 @@ def main(argv=None):
     for popn in args.popns:
         def run4(p=popn):
             return trace_pallas4.traverse_packets_pallas4(
-                scene, bvh, o, d, tables=tables4, popn=p
+                scene, bvh, o, d, tables=tables4, popn=p, rows=args.rows
             ).t
 
         s = measure(run4, iters=3)
-        key = f"bvh4_pack{pack4}_popn{popn}"
+        key = f"bvh4_pack{pack4}_popn{popn}" + (
+            f"_rows{args.rows}" if args.rows != 8 else "")
         out[key] = {"mrays": round(R / s / 1e6, 2), "ms": round(s * 1e3, 2)}
         print(f"[ab] {key}: {out[key]['mrays']} Mrays/s",
               file=sys.stderr, flush=True)

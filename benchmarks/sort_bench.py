@@ -20,6 +20,9 @@ def main() -> None:
     p.add_argument("--sizes", type=int, nargs="+", default=[20, 22, 24],
                    help="log2 key counts")
     p.add_argument("--engines", nargs="+", default=["xla", "pallas", "radix"])
+    p.add_argument("--realize", nargs="+", default=["pair_scatter"],
+                   help="pallas pass realizations to A/B "
+                   "(pair_scatter | gather_iota)")
     p.add_argument("--platform", choices=["tpu", "cpu"], default=None)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--reps", type=int, default=4)
@@ -36,7 +39,40 @@ def main() -> None:
     import numpy as np
 
     from unitysimpleraytracing_tpu.ops import sort as sort_ops
+    from unitysimpleraytracing_tpu.ops import sort_pallas
     from unitysimpleraytracing_tpu.utils.profiling import measure
+
+    CEILING = 12.0  # 4-pass HBM roofline, Gkeys/s — above it = timing artifact
+
+    def robust_seconds(fn, n):
+        """Slope over a 2-vs-10-rep sweep; amortized fallback when the slope
+        implies a physically impossible rate (the round-2 clamp artifact)."""
+        import time
+
+        from unitysimpleraytracing_tpu.utils.profiling import fetch
+
+        for _ in range(2):
+            fetch(fn())
+
+        def timed(reps):
+            t0 = time.perf_counter()
+            r = None
+            for _ in range(reps):
+                r = fn()
+            fetch(r)
+            return time.perf_counter() - t0
+
+        slopes, directs = [], []
+        for _ in range(args.iters):
+            t_lo, t_hi = timed(2), timed(10)
+            slopes.append((t_hi - t_lo) / 8)
+            directs.append(t_hi / 10)
+        slope = float(np.median(slopes))
+        direct = float(np.median(directs))
+        floor_s = n / (CEILING * 1e9)
+        if slope >= floor_s:
+            return slope, "slope"
+        return max(direct, floor_s), "amortized"
 
     print(f"[sort_bench] device={jax.devices()[0]}", file=sys.stderr, flush=True)
     rng = np.random.default_rng(0)
@@ -46,31 +82,41 @@ def main() -> None:
             rng.integers(0, 1 << 32, size=n, dtype=np.uint64).astype(np.uint32)
         )
         vals = jnp.arange(n, dtype=jnp.int32)
+        variants = []
         for eng in args.engines:
-            if eng == "pallas" and n >= (1 << 24):
-                print(json.dumps({"engine": eng, "n": n, "skipped": "f32-rank bound"}),
+            if eng == "pallas":
+                for r in args.realize:
+                    variants.append((f"pallas[{r}]", jax.jit(
+                        lambda k, v, rr=r: sort_pallas.radix_sort_key_val_pallas(
+                            k, v, realize=rr)[0])))
+            else:
+                variants.append((eng, jax.jit(
+                    lambda k, v, e=eng: sort_ops.sort_key_val(k, v, impl=e)[0])))
+        for name, fn in variants:
+            if name.startswith("pallas") and n >= (1 << 24):
+                print(json.dumps({"engine": name, "n": n, "skipped": "f32-rank bound"}),
                       flush=True)
                 continue
-            fn = jax.jit(lambda k, v, e=eng: sort_ops.sort_key_val(k, v, impl=e)[0])
             try:
                 np.testing.assert_array_equal(
                     np.asarray(fn(keys[:4096], vals[:4096])),
                     np.sort(np.asarray(keys[:4096])),
                 )
-                s = measure(lambda: fn(keys, vals), iters=args.iters, reps=args.reps)
+                s, method = robust_seconds(lambda: fn(keys, vals), n)
                 print(
                     json.dumps(
                         {
-                            "engine": eng,
+                            "engine": name,
                             "n": n,
                             "gkeys_per_s": round(n / s / 1e9, 4),
                             "ms": round(s * 1e3, 3),
+                            "method": method,
                         }
                     ),
                     flush=True,
                 )
             except Exception as e:  # keep the sweep alive per-engine
-                print(json.dumps({"engine": eng, "n": n, "error": str(e)[:200]}),
+                print(json.dumps({"engine": name, "n": n, "error": str(e)[:200]}),
                       flush=True)
 
 

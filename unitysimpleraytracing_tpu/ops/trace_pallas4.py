@@ -500,9 +500,9 @@ def prepare_tables4(scene: Scene, bvh: Bvh, pack: int | None = None):
     (the count is not host-readable there)."""
     import weakref
 
-    if pack is None:
-        pack = auto_pack4(bvh.capacity)
     if isinstance(jnp.asarray(bvh.left), jax.core.Tracer):
+        if pack is None:
+            pack = auto_pack4(bvh.capacity)
         cap4 = (2 * bvh.capacity) // 3 + 2
         cap4 = -(-cap4 // pack) * pack
         return pack_tables4(scene, bvh, pack=pack, cap4=cap4)
@@ -512,11 +512,16 @@ def prepare_tables4(scene: Scene, bvh: Bvh, pack: int | None = None):
         ent is not None
         and ent[0]() is bvh
         and ent[1]() is scene
-        and ent[2] == pack
+        and (pack is None or ent[2] == pack)
     ):
         return ent[3]
     mask, _ = bvh4_node_mask(bvh)
     cap4 = int(jnp.sum(mask))
+    if pack is None:
+        # The ACTUAL record count decides the layout (records measure ~0.50n
+        # on terrain trees vs the 2/3 worst case): flat static-lane while
+        # 512 B/record fits the VMEM budget with room for the ray windows.
+        pack = 1 if cap4 * 512 <= 88 * 2**20 else 2
     cap4 = max(-(-cap4 // pack) * pack, pack)
     tables = pack_tables4(scene, bvh, pack=pack, cap4=cap4)
     try:
@@ -553,9 +558,8 @@ def traverse_packets_pallas4(
     packet = rows * _LANE
     assert R % packet == 0, f"{R} rays not divisible by {packet}"
     T = R // packet
-    if pack is None:
-        pack = auto_pack4(bvh.capacity)
     if tables is None:
+        # pack=None lets prepare_tables4 pick from the ACTUAL record count.
         tables = prepare_tables4(scene, bvh, pack=pack)
     if cap4 is None:
         cap4, pack = table_geometry(tables)

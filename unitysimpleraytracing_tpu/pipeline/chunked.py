@@ -162,34 +162,37 @@ def trace_chunked(
     roots_max = cbvh.bvhs.node_aabb_max[:, 0]
     closest = jnp.clip(eye, roots_min, roots_max)
     perm = jnp.argsort(jnp.sum((closest - eye) ** 2, axis=1))
-    best = HitRecord(
-        t=jnp.full((R,), C.MAX_FLOAT, jnp.float32),
-        tri=jnp.zeros((R,), jnp.int32),
-        u=jnp.zeros((R,), jnp.float32),
-        v=jnp.zeros((R,), jnp.float32),
-    )
+    best_t = jnp.full((R,), C.MAX_FLOAT, jnp.float32)
+    best_tri = jnp.zeros((R,), jnp.int32)   # LOCAL tri id within its chunk
+    best_chunk = jnp.zeros((R,), jnp.int32)
+    best_u = jnp.zeros((R,), jnp.float32)
+    best_v = jnp.zeros((R,), jnp.float32)
     for s in range(S):  # static unroll: one VMEM-sized kernel launch per chunk
         idx = perm[s]
         scene_s = _chunk_scene(cbvh.sscene, idx, cap)
         # Later chunks prune against the best found so far (exact: a hit at
         # or beyond best.t loses the strict-< fold anyway); tables come
-        # pre-packed from build time.  The dynamic chunk gathers (tables row,
-        # global_tri row) cost ~100 µs of HBM traffic against the ~ms kernel;
-        # the unused scene_s payload gathers are dead-code-eliminated on the
-        # pallas path (the kernel reads only ``tables``).
+        # pre-packed from build time.  The dynamic chunk gathers (tables row)
+        # cost ~100 µs of HBM traffic against the ~ms kernel; the unused
+        # scene_s payload gathers are dead-code-eliminated on the pallas path
+        # (the kernel reads only ``tables``).  The fold keeps the LOCAL tri
+        # id + winning chunk and resolves the global id with ONE gather after
+        # the loop — the per-chunk global_tri[h.tri] gather it replaces cost
+        # ~2.5 ms × S at 512² (v5e gathers ~10 ns/row).
         h = trace_rays(
             scene_s, _chunk_bvh(cbvh.bvhs, idx, cap), origins, dirs,
-            impl=impl, t_init=best.t, tables=cbvh.tables[idx],
+            impl=impl, t_init=best_t, tables=cbvh.tables[idx],
         )
-        win = h.t < best.t  # ties → earlier-traced (nearer) chunk
-        gtri = cbvh.sscene.global_tri[idx][h.tri]
-        best = HitRecord(
-            t=jnp.where(win, h.t, best.t),
-            tri=jnp.where(win, gtri, best.tri),
-            u=jnp.where(win, h.u, best.u),
-            v=jnp.where(win, h.v, best.v),
-        )
-    return best
+        win = h.t < best_t  # ties → earlier-traced (nearer) chunk
+        best_t = jnp.where(win, h.t, best_t)
+        best_tri = jnp.where(win, h.tri, best_tri)
+        best_chunk = jnp.where(win, idx, best_chunk)
+        best_u = jnp.where(win, h.u, best_u)
+        best_v = jnp.where(win, h.v, best_v)
+    gtri = cbvh.sscene.global_tri[best_chunk, best_tri]
+    # Miss ⇒ tri = 0 (the reference's quirk, kept by every engine).
+    gtri = jnp.where(best_t < C.MAX_FLOAT, gtri, 0)
+    return HitRecord(t=best_t, tri=gtri, u=best_u, v=best_v)
 
 
 def render_hits_chunked(
