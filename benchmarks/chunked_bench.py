@@ -25,6 +25,9 @@ def main(argv=None):
     ap.add_argument("--impl", default="auto")
     ap.add_argument("--chunk-capacity", type=int, default=163840)
     ap.add_argument("--format", default="bvh4", choices=["bvh4", "bvh2"])
+    ap.add_argument("--random-rays", action="store_true",
+                    help="incoherent ray batch instead of camera rays (the "
+                    "routing win case: packets start chunk-incoherent)")
     ap.add_argument("--per-chunk", action="store_true",
                     help="also time each chunk's launch separately")
     args = ap.parse_args(argv)
@@ -59,14 +62,85 @@ def main(argv=None):
            "format": args.format}
     print(f"[chunk] {out}", file=sys.stderr, flush=True)
 
-    s = measure(
-        lambda: rt.render_hits_chunked(big, cbvh, cam, impl=args.impl).t,
-        iters=2, reps=4,
-    )
-    out["frame_ms"] = round(s * 1e3, 1)
-    out["mrays_per_s"] = round(R / s / 1e6, 2)
-    print(f"[chunk] frame {out['frame_ms']} ms = {out['mrays_per_s']} Mrays/s",
-          file=sys.stderr, flush=True)
+    from unitysimpleraytracing_tpu.pipeline import chunked as chunked_mod
+
+    if args.random_rays:
+        rng = np.random.default_rng(3)
+        o_r = rng.uniform(-140, 140, size=(R, 3)).astype(np.float32)
+        o_r[:, 1] = rng.uniform(35, 60, size=R).astype(np.float32)
+        d_r = rng.normal(size=(R, 3)).astype(np.float32)
+        d_r[:, 1] = -np.abs(d_r[:, 1]) - 0.2
+        d_r /= np.linalg.norm(d_r, axis=1, keepdims=True)
+        o_r, d_r = jnp.asarray(o_r), jnp.asarray(d_r)
+        for route in (True, False):
+            s = measure(
+                lambda r=route: chunked_mod.trace_chunked(
+                    cbvh, o_r, d_r, impl=args.impl, route=r
+                ).t,
+                iters=2, reps=4,
+            )
+            key = "frame_ms" if route else "frame_ms_unrouted"
+            out[key] = round(s * 1e3, 1)
+            if route:
+                out["mrays_per_s"] = round(R / s / 1e6, 2)
+            print(f"[chunk] random-rays route={route}: {out[key]} ms",
+                  file=sys.stderr, flush=True)
+        out["rays"] = "random"
+        print(json.dumps(out))
+        return 0
+
+    for route in (True, False):
+        s = measure(
+            lambda r=route: chunked_mod.render_hits_chunked(
+                big, cbvh, cam, impl=args.impl, route=r
+            ).t,
+            iters=2, reps=4,
+        )
+        key = "frame_ms" if route else "frame_ms_unrouted"
+        out[key] = round(s * 1e3, 1)
+        if route:
+            out["mrays_per_s"] = round(R / s / 1e6, 2)
+        print(f"[chunk] frame route={route}: {out[key]} ms",
+              file=sys.stderr, flush=True)
+
+    if args.per_chunk:
+        # Time each chunk's launch separately (static chunk index, real
+        # t_init threading) to see where the frame goes.
+        from unitysimpleraytracing_tpu.ops.dispatch import trace_rays
+        from unitysimpleraytracing_tpu.pipeline.chunked import (
+            _chunk_bvh, _chunk_scene,
+        )
+
+        o0, d0 = generate_rays(cam)
+        o0 = _tile_major(o0, HEIGHT, WIDTH, 32)
+        d0 = _tile_major(d0, HEIGHT, WIDTH, 32)
+        eye0 = np.asarray(jnp.mean(o0, axis=0))
+        rmin = np.asarray(cbvh.bvhs.node_aabb_min[:, 0])
+        rmax = np.asarray(cbvh.bvhs.node_aabb_max[:, 0])
+        perm0 = np.argsort(
+            np.sum((np.clip(eye0, rmin, rmax) - eye0) ** 2, axis=1)
+        )
+        impl0 = args.impl
+        if impl0 == "auto":
+            impl0 = "pallas4" if cbvh.tables.shape[-1] == 64 else "pallas"
+        best_t = jnp.full((R,), rt.constants.MAX_FLOAT, jnp.float32)
+        times = []
+        for s_ in perm0:
+            s_ = int(s_)
+            scene_s = _chunk_scene(cbvh.sscene, s_, cbvh.capacity)
+            bvh_s = _chunk_bvh(cbvh.bvhs, s_, cbvh.capacity)
+            tab = cbvh.tables[s_]
+            fn = jax.jit(
+                lambda ti, sc=scene_s, bv=bvh_s, tb=tab: trace_rays(
+                    sc, bv, o0, d0, impl=impl0, t_init=ti, tables=tb
+                ).t
+            )
+            sec = measure(lambda: fn(best_t), iters=2, reps=4)
+            times.append(round(sec * 1e3, 2))
+            best_t = jnp.minimum(best_t, fn(best_t))
+        out["per_chunk_ms"] = times
+        print(f"[chunk] per-chunk ms (schedule order): {times}",
+              file=sys.stderr, flush=True)
 
     # Gate statistics: what fraction of rays could a perfect router skip?
     o, d = generate_rays(cam)

@@ -29,7 +29,10 @@ from unitysimpleraytracing_tpu.pipeline.build import build_bvh, deform_scene, re
 from unitysimpleraytracing_tpu.pipeline.chunked import (
     ChunkedBvh,
     build_bvh_chunked,
+    occluded_chunked,
+    render_frame_chunked,
     render_hits_chunked,
+    render_rgba_chunked,
     trace_chunked,
 )
 from unitysimpleraytracing_tpu.pipeline.render import (
@@ -67,6 +70,9 @@ __all__ = [
     "render_frame",
     "render_hits",
     "render_hits_chunked",
+    "render_frame_chunked",
+    "render_rgba_chunked",
+    "occluded_chunked",
     "render_rgba",
     "solid_texture",
     "texture_from_array",

@@ -107,10 +107,22 @@ def main(argv=None) -> None:
     print(f"loaded {mesh.num_triangles} triangles in {time.perf_counter()-t0:.2f}s")
 
     scene = rt.build_scene(mesh)
+    # Beyond the single-kernel VMEM capacity the chunked path streams
+    # per-chunk tables (the reference hard-caps at 524 288, Constants.cs:6).
+    from unitysimpleraytracing_tpu.ops.trace_pallas4 import PACKED4_MAX_CAPACITY
+
+    chunked = mesh.num_triangles > PACKED4_MAX_CAPACITY
     t0 = time.perf_counter()
-    bvh = rt.build_bvh(scene)
-    bvh.node_aabb_min.block_until_ready()
-    print(f"BVH built in {time.perf_counter()-t0:.3f}s")
+    if chunked:
+        cbvh = rt.build_bvh_chunked(scene)
+        cbvh.bvhs.node_aabb_min.block_until_ready()
+        bvh = None
+        print(f"chunked BVH built ({cbvh.num_chunks} chunks) "
+              f"in {time.perf_counter()-t0:.3f}s")
+    else:
+        bvh = rt.build_bvh(scene)
+        bvh.node_aabb_min.block_until_ready()
+        print(f"BVH built in {time.perf_counter()-t0:.3f}s")
 
     lo = mesh.positions.min(axis=(0, 1))
     hi = mesh.positions.max(axis=(0, 1))
@@ -137,6 +149,13 @@ def main(argv=None) -> None:
             width=args.width, height=args.height, fov_deg=args.fov,
         )
 
+    def do_frame(cam):
+        if chunked:
+            return rt.render_frame_chunked(
+                scene, cbvh, cam, tex, background, shadows=args.shadows
+            )
+        return rt.render_frame(scene, bvh, cam, tex, background, shadows=args.shadows)
+
     def overlay(frame, cam):
         img = rt.frame_to_image(frame)
         if not (args.gizmo or args.gizmo_tris):
@@ -156,7 +175,7 @@ def main(argv=None) -> None:
                 np.asarray(scene.aabb_max)[: scene.count][sel],
                 color=(1.0, 1.0, 1.0),
             )
-        if args.gizmo:  # internal-node boxes, red (Gizmos.color = Color.red)
+        if args.gizmo and bvh is not None:  # internal nodes, red
             over = draw_aabbs(
                 over, cam,
                 np.asarray(bvh.node_aabb_min)[: bvh.num_internal][sel],
@@ -168,7 +187,7 @@ def main(argv=None) -> None:
     if args.orbit <= 0:
         cam = cam_at(eye)
         t0 = time.perf_counter()
-        frame = rt.render_frame(scene, bvh, cam, tex, background, shadows=args.shadows)
+        frame = do_frame(cam)
         frame.block_until_ready()
         dt = time.perf_counter() - t0
         mrays = args.width * args.height / dt / 1e6
@@ -185,7 +204,7 @@ def main(argv=None) -> None:
     for i, eye_i in enumerate(orbit_eyes(eye, target, args.orbit)):
         cam = cam_at(eye_i)
         t0 = time.perf_counter()
-        frame = rt.render_frame(scene, bvh, cam, tex, background, shadows=args.shadows)
+        frame = do_frame(cam)
         frame.block_until_ready()
         times.append(time.perf_counter() - t0)
         path = f"{stem}_{i:03d}.{ext or 'png'}"

@@ -128,12 +128,14 @@ def _chunk_bvh(bvhs: Bvh, s: int, cap: int) -> Bvh:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("impl",))
+@functools.partial(jax.jit, static_argnames=("impl", "route"))
 def trace_chunked(
     cbvh: ChunkedBvh,
     origins: jnp.ndarray,
     dirs: jnp.ndarray,
     impl: str = "auto",
+    route: bool = True,
+    anyhit_thresh: jnp.ndarray | None = None,
 ) -> HitRecord:
     """Nearest hit over all chunks; ``tri`` is the ORIGINAL scene triangle id.
 
@@ -145,6 +147,16 @@ def trace_chunked(
     never win the strict-< fold); only EXACT cross-chunk t-ties resolve to
     the nearer chunk instead of the lower Morton range — the same bounded
     tie class as the distributed combines (parallel/dist.py).
+
+    ``route=True`` additionally reorders the RAYS once, stably, by each
+    ray's nearest OVERLAPPED chunk (the shuffle engine's root-box routing,
+    dist.render_hits_shuffle, applied single-chip): packets then align with
+    chunk locality, so the union DFS of a packet stops straddling chunk
+    boundaries where most of the work is, and rays overlapping nothing sort
+    to the tail as all-dead packets.  One (R,S) slab test + one stable sort
+    + two bulk gathers total (NOT per chunk); results are unpermuted at the
+    end — bit-identical to ``route=False`` (same fold, same per-ray
+    candidates, order of the fold unchanged).
     """
     S, cap = cbvh.num_chunks, cbvh.capacity
     R = origins.shape[0]
@@ -162,6 +174,30 @@ def trace_chunked(
     roots_max = cbvh.bvhs.node_aabb_max[:, 0]
     closest = jnp.clip(eye, roots_min, roots_max)
     perm = jnp.argsort(jnp.sum((closest - eye) ** 2, axis=1))
+
+    ray_perm = None
+    if route and S > 1:
+        # Nearest-overlapped-chunk id per ray ((R,S) slab, entry distance);
+        # rays overlapping no chunk get id S and pack into all-dead packets.
+        inv = 1.0 / dirs
+        t1 = (roots_min[None, :, :] - origins[:, None, :]) * inv[:, None, :]
+        t2 = (roots_max[None, :, :] - origins[:, None, :]) * inv[:, None, :]
+        tmin = jnp.max(jnp.minimum(t1, t2), axis=2)
+        tmax = jnp.min(jnp.maximum(t1, t2), axis=2)
+        ov = (tmax > tmin) & (tmax > 0)
+        entry = jnp.where(ov, jnp.maximum(tmin, 0.0), jnp.inf)
+        nearest = jnp.where(
+            jnp.any(ov, axis=1), jnp.argmin(entry, axis=1), jnp.int32(S)
+        )
+        # Stable sort keeps the tile-major coherence within each group.
+        _, ray_perm = jax.lax.sort_key_val(
+            nearest, jnp.arange(R, dtype=jnp.int32), is_stable=True
+        )
+        od = jnp.concatenate([origins, dirs], axis=1)[ray_perm]  # ONE gather
+        origins, dirs = od[:, 0:3], od[:, 3:6]
+        if anyhit_thresh is not None:
+            anyhit_thresh = anyhit_thresh[ray_perm]
+
     best_t = jnp.full((R,), C.MAX_FLOAT, jnp.float32)
     best_tri = jnp.zeros((R,), jnp.int32)   # LOCAL tri id within its chunk
     best_chunk = jnp.zeros((R,), jnp.int32)
@@ -179,9 +215,14 @@ def trace_chunked(
         # id + winning chunk and resolves the global id with ONE gather after
         # the loop — the per-chunk global_tri[h.tri] gather it replaces cost
         # ~2.5 ms × S at 512² (v5e gathers ~10 ns/row).
+        # anyhit: a collapsed t (0) from any chunk makes best_t = 0, and the
+        # next chunk's t_init=0 prunes its whole DFS for that ray (occlusion
+        # rays start outside the scene, so every slab entry is positive) —
+        # cross-chunk early exit composes exactly like in-kernel collapse.
         h = trace_rays(
             scene_s, _chunk_bvh(cbvh.bvhs, idx, cap), origins, dirs,
             impl=impl, t_init=best_t, tables=cbvh.tables[idx],
+            anyhit_thresh=anyhit_thresh,
         )
         win = h.t < best_t  # ties → earlier-traced (nearer) chunk
         best_t = jnp.where(win, h.t, best_t)
@@ -192,11 +233,23 @@ def trace_chunked(
     gtri = cbvh.sscene.global_tri[best_chunk, best_tri]
     # Miss ⇒ tri = 0 (the reference's quirk, kept by every engine).
     gtri = jnp.where(best_t < C.MAX_FLOAT, gtri, 0)
+    if ray_perm is not None:
+        # Unpermute: scatter-of-iota + ONE packed 4-column gather.
+        inv_p = jnp.zeros((R,), jnp.int32).at[ray_perm].set(
+            jnp.arange(R, dtype=jnp.int32), unique_indices=True
+        )
+        packed = jnp.stack(
+            [best_t, jax.lax.bitcast_convert_type(gtri, jnp.float32),
+             best_u, best_v],
+            axis=1,
+        )[inv_p]
+        best_t, best_u, best_v = packed[:, 0], packed[:, 2], packed[:, 3]
+        gtri = jax.lax.bitcast_convert_type(packed[:, 1], jnp.int32)
     return HitRecord(t=best_t, tri=gtri, u=best_u, v=best_v)
 
 
 def render_hits_chunked(
-    scene: Scene, cbvh: ChunkedBvh, cam, impl: str = "auto"
+    scene: Scene, cbvh: ChunkedBvh, cam, impl: str = "auto", route: bool = True
 ) -> HitRecord:
     """Primary-ray trace of a chunked scene in tile-major packet order
     (mirrors ops/dispatch.camera_trace — reshape/transpose reordering, no
@@ -213,6 +266,7 @@ def render_hits_chunked(
             _tile_major(origins, h, w, 32),
             _tile_major(dirs, h, w, 32),
             impl=impl,
+            route=route,
         )
         return HitRecord(
             t=_row_major(hits.t, h, w, 32),
@@ -220,4 +274,80 @@ def render_hits_chunked(
             u=_row_major(hits.u, h, w, 32),
             v=_row_major(hits.v, h, w, 32),
         )
-    return trace_chunked(cbvh, origins, dirs, impl=impl)
+    return trace_chunked(cbvh, origins, dirs, impl=impl, route=route)
+
+
+def occluded_chunked(
+    cbvh: ChunkedBvh, origins, dirs, impl: str = "auto", eps: float = 4e-3
+):
+    """Chunked occlusion query (dispatch.occluded's semantics over a chunked
+    scene): traced backward from outside the whole scene with the any-hit
+    early exit per chunk; t_init threads the collapse across chunks."""
+    roots_min = cbvh.bvhs.node_aabb_min[:, 0]
+    roots_max = cbvh.bvhs.node_aabb_max[:, 0]
+    ext = jnp.maximum(
+        jnp.max(jnp.abs(jnp.nan_to_num(roots_min, posinf=0.0, neginf=0.0))),
+        jnp.max(jnp.abs(jnp.nan_to_num(roots_max, posinf=0.0, neginf=0.0))),
+    )
+    far = 4.0 * ext + jnp.max(jnp.abs(origins)) + 1.0
+    back_origins = origins + dirs * far
+    thresh = jnp.broadcast_to(far - eps, (origins.shape[0],)).astype(jnp.float32)
+    hits = trace_chunked(
+        cbvh, back_origins, -dirs, impl=impl, anyhit_thresh=thresh
+    )
+    return hits.hit & (hits.t < far - eps)
+
+
+def render_rgba_chunked(
+    scene: Scene, cbvh: ChunkedBvh, cam, tex, impl: str = "auto",
+    shadows: bool = False,
+):
+    """Traced layer of a chunked (beyond single-kernel capacity) scene —
+    the render path for scenes past the ~580K-triangle VMEM ceiling.
+    Mirrors pipeline/render.render_rgba including the shadow pass's
+    guaranteed-miss substitution for miss pixels."""
+    from unitysimpleraytracing_tpu.core.camera import generate_rays
+    from unitysimpleraytracing_tpu.ops import trace as trace_ops
+    from unitysimpleraytracing_tpu.ops.dispatch import _row_major, _tile_major
+
+    hits = render_hits_chunked(scene, cbvh, cam, impl=impl)
+    shadow = None
+    if shadows:
+        o, d = generate_rays(cam)
+        light = jnp.full((3,), 1.0 / jnp.sqrt(jnp.float32(3.0)), jnp.float32)
+        root_max = jnp.max(
+            jnp.nan_to_num(cbvh.bvhs.node_aabb_max[:, 0], posinf=0.0, neginf=0.0),
+            axis=0,
+        )
+        miss_o = root_max + jnp.maximum(jnp.max(jnp.abs(root_max)), 1.0)
+        miss_d = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+        hitm = hits.hit[:, None]
+        p = o + jnp.where(hitm, hits.t[:, None], 0.0) * d
+        dirs = jnp.where(hitm, light[None, :], miss_d[None, :])
+        origins = jnp.where(hitm, p + light[None, :] * 1e-3, miss_o[None, :])
+        h, w = cam.height, cam.width
+        if h % 32 == 0 and w % 32 == 0:
+            occ = occluded_chunked(
+                cbvh, _tile_major(origins, h, w, 32),
+                _tile_major(dirs, h, w, 32), impl=impl,
+            )
+            shadow = _row_major(occ, h, w, 32) & hits.hit
+        else:
+            shadow = occluded_chunked(cbvh, origins, dirs, impl=impl) & hits.hit
+    rgba = trace_ops.shade(scene, tex, hits, shadow=shadow)
+    return rgba.reshape(cam.height, cam.width, 4)
+
+
+def render_frame_chunked(
+    scene: Scene, cbvh: ChunkedBvh, cam, tex, background,
+    impl: str = "auto", shadows: bool = False,
+):
+    """Full composited frame over a chunked scene (render.render_frame's
+    contract for scenes beyond the single-kernel capacity)."""
+    from unitysimpleraytracing_tpu.ops import trace as trace_ops
+
+    traced = render_rgba_chunked(scene, cbvh, cam, tex, impl=impl, shadows=shadows)
+    bg = jnp.broadcast_to(
+        jnp.asarray(background, jnp.float32), (cam.height, cam.width, 3)
+    )
+    return trace_ops.compose(bg, traced)
