@@ -306,7 +306,7 @@ def main() -> None:
             "n_tris": sscene.count,
             "res": "1920x1056",
             "shadows": True,
-            "layout": "packed",
+            "engine": resolve_impl("auto", sbvh.capacity),
             "frame_ms": round(s * 1e3, 1),
             "mrays_per_s": round(2 * 1920 * 1056 / s / 1e6, 2),
         }

@@ -37,7 +37,9 @@ def test_databuffer_shape_guard():
 
 def test_registry_lists_builtin_engines():
     assert registry.engines("sort") == ["pallas", "radix", "xla"]
-    assert registry.engines("traverse") == ["packet", "pallas", "perray"]
+    assert registry.engines("traverse") == [
+        "packet", "pallas", "pallas4", "perray"
+    ]
     assert "pallas" in registry.engines("scan")
     with pytest.raises(KeyError):
         registry.get("sort", "nope")

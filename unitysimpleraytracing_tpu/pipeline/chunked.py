@@ -249,12 +249,17 @@ def trace_chunked(
 
 
 def render_hits_chunked(
-    scene: Scene, cbvh: ChunkedBvh, cam, impl: str = "auto", route: bool = True
+    scene: Scene, cbvh: ChunkedBvh, cam, impl: str = "auto", route: bool = False
 ) -> HitRecord:
     """Primary-ray trace of a chunked scene in tile-major packet order
     (mirrors ops/dispatch.camera_trace — reshape/transpose reordering, no
     permutation gathers); ``scene`` is the original unchunked scene, used
-    only for shape/shading downstream."""
+    only for shape/shading downstream.
+
+    ``route`` defaults OFF here (measured on v5e at 1M tris: tile-major
+    camera packets are already chunk-coherent, so the reorder's sort+gathers
+    net -8%: 63.3 vs 58.8 ms) and ON in trace_chunked for generic batches
+    (incoherent 262K-ray batch: 631.7 vs 673.1 ms, +7%)."""
     from unitysimpleraytracing_tpu.core.camera import generate_rays
     from unitysimpleraytracing_tpu.ops.dispatch import _row_major, _tile_major
 
