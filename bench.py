@@ -209,6 +209,23 @@ def main() -> None:
         extra["dynamic_refit_hz"] = round(1.0 / measure(lambda: dyn_refit(0.7), iters=2), 1)
         _note(f"dynamic rebuild {extra['dynamic_rebuild_hz']} Hz, "
               f"refit {extra['dynamic_refit_hz']} Hz")
+
+        # Full animated RENDER loop (the reference renders every frame):
+        # deform -> refit -> repack tables -> trace.  The repack reuses the
+        # per-topology even-depth cache (refit keeps the child links), so
+        # only box/vert gathers repay per frame.
+        from unitysimpleraytracing_tpu.pipeline.build import refit_bvh
+
+        def dyn_frame(phase):
+            pos = base.at[..., 1].add(0.5 * jnp.sin(base[..., 0] * 0.37 + phase))
+            s2 = deform_scene(scene, pos)
+            b2 = refit_bvh(s2, bvh)
+            return rt.render_hits(s2, b2, cam).t
+
+        extra["dynamic_render_hz"] = round(
+            1.0 / measure(lambda: dyn_frame(0.9), iters=2), 1
+        )
+        _note(f"dynamic render {extra['dynamic_render_hz']} Hz")
     except Exception as e:
         _note(f"dynamic skipped: {e}")
 

@@ -141,3 +141,30 @@ def test_bvh4_dispatch_and_render_path():
     occ4 = dispatch.occluded(scene, bvh, o, d, impl="pallas4")
     occp = dispatch.occluded(scene, bvh, o, d, impl="packet")
     np.testing.assert_array_equal(np.asarray(occ4), np.asarray(occp))
+
+
+def test_refit_repack_uses_topology_cache_and_stays_exact():
+    """refit_bvh keeps the child-link arrays (flax replace) → the even-depth
+    membership cache hits, and the repacked tables must equal a from-scratch
+    pack of the refit BVH bit for bit."""
+    import jax.numpy as jnp
+
+    scene = rt.build_scene(rt.random_triangle_soup(300, seed=9, bound=5.0, tri_size=1.0))
+    bvh = rt.build_bvh(scene)
+    m1, n1 = trace_pallas4.bvh4_node_mask(bvh)
+    t = scene.triangles
+    pos = jnp.stack([t.a, t.b, t.c], axis=1).at[..., 1].add(0.25)
+    scene2 = rt.deform_scene(scene, pos)
+    bvh2 = rt.refit_bvh(scene2, bvh)
+    assert bvh2.left is bvh.left  # topology arrays shared
+    m2, n2 = trace_pallas4.bvh4_node_mask(bvh2)
+    assert m2 is m1 and n2 is n1  # cache hit
+    got = trace_pallas4.prepare_tables4(scene2, bvh2, pack=1)
+    cap4, _ = trace_pallas4.table_geometry(got)
+    fresh = trace_pallas4.pack_tables4(scene2, bvh2, pack=1, cap4=cap4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(fresh))
+    # And the refit tables trace correctly.
+    o, d = _rays(1024, seed=10)
+    ref = trace.traverse(scene2, bvh2, o, d)
+    hit = _run(scene2, bvh2, o, d, tables=got)
+    _assert_hit_parity(hit, ref)

@@ -73,8 +73,15 @@ def auto_pack4(capacity: int) -> int:
     return 1 if capacity <= FLAT4_MAX_CAPACITY else 2
 
 
-def bvh4_node_mask(bvh: Bvh):
-    """(mask, new_id): even-depth internal nodes and their compacted ids."""
+# id(bvh.left) -> (weakref(left), mask, new_id).  Keyed by the TOPOLOGY
+# array's identity, not the Bvh object's: refit_bvh replaces only the box
+# fields (flax .replace keeps the child-link array references), so a
+# refit-per-frame dynamic loop reuses the even-depth membership — the
+# pointer-doubling depth pass is the expensive part of repacking.
+_TOPO_CACHE: dict = {}
+
+
+def _node_mask_compute(bvh: Bvh):
     cap = bvh.left.shape[0]
     ids = jnp.arange(cap, dtype=jnp.int32)
     valid = ids < bvh.count - 1
@@ -91,12 +98,50 @@ def bvh4_node_mask(bvh: Bvh):
     return mask, new_id
 
 
+def bvh4_node_mask(bvh: Bvh):
+    """(mask, new_id): even-depth internal nodes and their compacted ids.
+
+    Cached per topology (id of the child-link array) for concrete inputs, so
+    refit-only rebuilds skip the depth chase."""
+    mask, new_id, _ = _node_mask_cached(bvh)
+    return mask, new_id
+
+
+def _node_mask_cached(bvh: Bvh):
+    """(mask, new_id, count|None): count is the host int record count,
+    available only for concrete inputs (cached — it costs a device→host
+    sync, which a refit-per-frame render loop must not repay)."""
+    import weakref
+
+    left = jnp.asarray(bvh.left)
+    if isinstance(left, jax.core.Tracer):
+        mask, new_id = _node_mask_compute(bvh)
+        return mask, new_id, None
+    key = id(bvh.left)
+    ent = _TOPO_CACHE.get(key)
+    if ent is not None and ent[0]() is bvh.left:
+        return ent[1], ent[2], ent[3]
+    mask, new_id = jax.jit(_node_mask_compute)(bvh)
+    count = int(jnp.sum(mask))
+    try:
+        ref = weakref.ref(bvh.left, lambda _r, _k=key: _TOPO_CACHE.pop(_k, None))
+        _TOPO_CACHE[key] = (ref, mask, new_id, count)
+    except TypeError:
+        pass
+    return mask, new_id, count
+
+
 @functools.partial(jax.jit, static_argnames=("pack", "cap4"))
-def pack_tables4(scene: Scene, bvh: Bvh, pack: int = 1, cap4: int | None = None):
+def pack_tables4(
+    scene: Scene, bvh: Bvh, pack: int = 1, cap4: int | None = None,
+    mask=None, new_id=None,
+):
     """Flatten scene+BVH into the 4-child record table (see module doc).
 
     ``cap4`` is the static record count (host-computed actual even-depth node
-    count, padded; defaults to the worst-case (2·cap+1)/3 bound)."""
+    count, padded; defaults to the worst-case (2·cap+1)/3 bound).
+    ``mask``/``new_id`` optionally carry a bvh4_node_mask result (the
+    topology cache — refit-per-frame loops skip the depth chase)."""
     cap = bvh.capacity
     assert pack in (1, 2)
     if cap4 is None:
@@ -105,7 +150,8 @@ def pack_tables4(scene: Scene, bvh: Bvh, pack: int = 1, cap4: int | None = None)
     assert cap4 < (1 << 21), "meta packing needs node ids < 2^21"
     assert cap < (1 << 21), "meta packing needs triangle ids < 2^21"
 
-    mask, new_id = bvh4_node_mask(bvh)
+    if mask is None:
+        mask, new_id = bvh4_node_mask(bvh)
     ids = jnp.arange(cap, dtype=jnp.int32)
 
     Lc = jnp.clip(bvh.left, 0, cap - 1)
@@ -514,15 +560,14 @@ def prepare_tables4(scene: Scene, bvh: Bvh, pack: int | None = None):
         and (pack is None or ent[2] == pack)
     ):
         return ent[3]
-    mask, _ = bvh4_node_mask(bvh)
-    cap4 = int(jnp.sum(mask))
+    mask, new_id, cap4 = _node_mask_cached(bvh)
     if pack is None:
         # The ACTUAL record count decides the layout (records measure ~0.50n
         # on terrain trees vs the 2/3 worst case): flat static-lane while
         # 512 B/record fits the VMEM budget with room for the ray windows.
         pack = 1 if cap4 * 512 <= 88 * 2**20 else 2
     cap4 = max(-(-cap4 // pack) * pack, pack)
-    tables = pack_tables4(scene, bvh, pack=pack, cap4=cap4)
+    tables = pack_tables4(scene, bvh, pack=pack, cap4=cap4, mask=mask, new_id=new_id)
     try:
         bvh_ref = weakref.ref(bvh, lambda _r, _k=key: _TABLE4_CACHE.pop(_k, None))
         scene_ref = weakref.ref(scene)

@@ -100,7 +100,6 @@ def deform_scene(scene: Scene, positions) -> Scene:
     return scene.replace(triangles=tris, aabb_min=amin, aabb_max=amax)
 
 
-@jax.jit
 def refit_bvh(scene: Scene, bvh: Bvh) -> Bvh:
     """Refit node AABBs to the scene's current triangle AABBs, keeping the
     tree topology (the fast path for deforming meshes — the reference has no
@@ -109,6 +108,12 @@ def refit_bvh(scene: Scene, bvh: Bvh) -> Bvh:
     O(log n) unrolled vector passes (sparse-table range min/max over the
     node leaf ranges); exact: output equals a fresh refit of the same
     topology over the new leaf boxes.
+
+    Deliberately NOT jitted at this level (the inner ``lbvh.refit`` is): the
+    ``replace`` below then keeps the topology arrays' object identity, which
+    the BVH4 table packer's per-topology cache keys on — a refit-per-frame
+    render loop skips the depth chase when repacking (trace_pallas4).
+    Inside a caller's jit everything still fuses.
     """
     node_min, node_max = lbvh.refit(
         bvh.range_first,
