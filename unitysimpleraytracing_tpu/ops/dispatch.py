@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from unitysimpleraytracing_tpu.core.types import Bvh, HitRecord, Scene
 from unitysimpleraytracing_tpu.ops import trace, trace_packet, trace_pallas, trace_pallas4

@@ -30,7 +30,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from unitysimpleraytracing_tpu import constants as C
 from unitysimpleraytracing_tpu.core.types import Bvh, Scene, Triangles
