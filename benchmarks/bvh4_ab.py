@@ -24,6 +24,7 @@ def main(argv=None):
     ap.add_argument("--rows", type=int, default=8,
                     help="packet height in 128-lane sublanes (8 = 1024 rays)")
     ap.add_argument("--skip-bvh2", action="store_true")
+    ap.add_argument("--builder", default="karras", choices=["karras", "sah"])
     args = ap.parse_args(argv)
 
     import jax
@@ -41,7 +42,7 @@ def main(argv=None):
 
     mesh = rt.terrain_mesh(res=args.res, size=80.0, amplitude=9.0, seed=0)
     scene = rt.build_scene(mesh)
-    bvh = rt.build_bvh(scene)
+    bvh = rt.build_bvh(scene, builder=args.builder)
     cam = rt.make_camera(
         eye=(55.0, 45.0, 70.0), target=(0.0, 0.0, 0.0),
         width=WIDTH, height=HEIGHT, fov_deg=60.0,
@@ -51,7 +52,7 @@ def main(argv=None):
     d = _tile_major(d, HEIGHT, WIDTH, 32)
     R = WIDTH * HEIGHT
 
-    out = {"n_tris": scene.count, "rays": R,
+    out = {"n_tris": scene.count, "rays": R, "builder": args.builder,
            "device": str(jax.devices()[0])}
     print(f"[ab] scene {scene.count} tris", file=sys.stderr, flush=True)
 

@@ -28,6 +28,7 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=1056)
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--builder", default="karras", choices=["karras", "sah"])
     args = ap.parse_args(argv)
 
     import jax
@@ -48,7 +49,7 @@ def main(argv=None):
 
     mesh = rt.terrain_mesh(res=args.res, size=160.0, amplitude=20.0, seed=1)
     scene = rt.build_scene(mesh)
-    bvh = rt.build_bvh(scene)
+    bvh = rt.build_bvh(scene, builder=args.builder)
     cam = rt.make_camera(
         eye=(110.0, 90.0, 140.0), target=(0.0, 0.0, 0.0),
         width=args.width, height=args.height, fov_deg=60.0,
@@ -86,7 +87,7 @@ def main(argv=None):
         rgba = trace.shade(scene, tex, hits, shadow=shadow)
         return rgba.reshape(h, w, 4)
 
-    out = {"n_tris": scene.count, "res": f"{w}x{h}",
+    out = {"n_tris": scene.count, "res": f"{w}x{h}", "builder": args.builder,
            "impl": impl, "pack": trace_pallas.auto_pack(bvh.capacity)}
     fa = np.asarray(frame(scene, bvh, cam, tex, tables, False))
     fb = np.asarray(frame(scene, bvh, cam, tex, tables, True))

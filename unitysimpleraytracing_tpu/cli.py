@@ -70,6 +70,12 @@ def main(argv=None) -> None:
         "written to OUT with '_NNN' appended; reports steady-state ms/frame",
     )
     ap.add_argument("--flip-x", action="store_true", help="Unity-style OBJ import")
+    ap.add_argument(
+        "--builder", default="karras", choices=["karras", "sah"],
+        help="BVH topology: 'karras' (the reference's radix tree, "
+        "BVH.compute:94-149) or 'sah' (sweep SAH over the Morton order — "
+        "better splits, same hits; worth it for static scenes)",
+    )
     ap.add_argument("--shadows", action="store_true", help="shadow-ray pass")
     ap.add_argument(
         "--gizmo", action="store_true",
@@ -114,13 +120,15 @@ def main(argv=None) -> None:
     chunked = mesh.num_triangles > PACKED4_MAX_CAPACITY
     t0 = time.perf_counter()
     if chunked:
+        if args.builder != "karras":
+            print("note: chunked path always uses the karras builder")
         cbvh = rt.build_bvh_chunked(scene)
         cbvh.bvhs.node_aabb_min.block_until_ready()
         bvh = None
         print(f"chunked BVH built ({cbvh.num_chunks} chunks) "
               f"in {time.perf_counter()-t0:.3f}s")
     else:
-        bvh = rt.build_bvh(scene)
+        bvh = rt.build_bvh(scene, builder=args.builder)
         bvh.node_aabb_min.block_until_ready()
         print(f"BVH built in {time.perf_counter()-t0:.3f}s")
 

@@ -162,18 +162,13 @@ def build_topology(codes: jnp.ndarray, count, with_parents: bool = True):
     # Parent links via masked scatters (drop out-of-range → masked rows
     # inert).  Diagnostic-only: nothing in the render path reads parents, and
     # the 4 scatters cost ~40 ms at 1M tris — so they are skippable.
-    internal_parent = jnp.full(cap, -1, jnp.int32)
-    leaf_parent = jnp.full(cap, -1, jnp.int32)
     if with_parents:
-        drop = jnp.int32(cap)
-        li = jnp.where(valid & ~left_is_leaf, left, drop)
-        ri = jnp.where(valid & ~right_is_leaf, right, drop)
-        internal_parent = internal_parent.at[li].set(ids, mode="drop")
-        internal_parent = internal_parent.at[ri].set(ids, mode="drop")
-        ll = jnp.where(left_is_leaf, left, drop)
-        rl = jnp.where(right_is_leaf, right, drop)
-        leaf_parent = leaf_parent.at[ll].set(ids, mode="drop")
-        leaf_parent = leaf_parent.at[rl].set(ids, mode="drop")
+        internal_parent, leaf_parent = parent_links(
+            left, right, left_is_leaf, right_is_leaf, valid
+        )
+    else:
+        internal_parent = jnp.full(cap, -1, jnp.int32)
+        leaf_parent = jnp.full(cap, -1, jnp.int32)
 
     range_first = jnp.where(valid, first, -1)
     range_last = jnp.where(valid, last, -1)
@@ -182,6 +177,26 @@ def build_topology(codes: jnp.ndarray, count, with_parents: bool = True):
         left, right, left_is_leaf, right_is_leaf,
         internal_parent, leaf_parent, range_first, range_last, split_axis,
     )
+
+
+def parent_links(left, right, left_is_leaf, right_is_leaf, valid):
+    """Parent arrays from child links via 4 masked scatters (drop mode →
+    out-of-range rows inert).  Works for ANY contiguous-range binary tree
+    (Karras or the sweep-SAH builder, ops/sah.py); diagnostic-only data."""
+    cap = left.shape[0]
+    ids = jnp.arange(cap, dtype=jnp.int32)
+    drop = jnp.int32(cap)
+    internal_parent = jnp.full(cap, -1, jnp.int32)
+    leaf_parent = jnp.full(cap, -1, jnp.int32)
+    li = jnp.where(valid & ~left_is_leaf, left, drop)
+    ri = jnp.where(valid & ~right_is_leaf, right, drop)
+    internal_parent = internal_parent.at[li].set(ids, mode="drop")
+    internal_parent = internal_parent.at[ri].set(ids, mode="drop")
+    ll = jnp.where(valid & left_is_leaf, left, drop)
+    rl = jnp.where(valid & right_is_leaf, right, drop)
+    leaf_parent = leaf_parent.at[ll].set(ids, mode="drop")
+    leaf_parent = leaf_parent.at[rl].set(ids, mode="drop")
+    return internal_parent, leaf_parent
 
 
 @jax.jit

@@ -22,7 +22,9 @@ order ties — same bound as BASELINE's parity bar):
   scene), cutting VMEM per triangle ~3x vs the BVH2 record at equal fetch
   form.
 - **Record = 64 f32 slots** (4 child boxes 24, 4 metas 4, 4×9 embedded leaf
-  vertices 36).  ``pack=1``: one record per 128-lane row (512 B/record,
+  triangles 36 — stored PRE-DIFFERENCED as (a, e1=b−a, e2=c−a) so the kernel
+  skips 6 vector subtractions per entry; the f32 subtraction moves from the
+  kernel to pack time bit-unchanged, so hit parity is exact).  ``pack=1``: one record per 128-lane row (512 B/record,
   static-lane scalar fetch — the SAME bytes/record as the BVH2 flat layout,
   at less than half the records, so the fast fetch form now covers ~260K-tri
   scenes: config 3 no longer needs a switch fetch).  ``pack=2``: two records
@@ -188,8 +190,11 @@ def pack_tables4(
         idx = jnp.where(present, idx, 0)
         m = (present & is_leaf)[:, None]
         va = jnp.where(m, t.a[tri], 0.0)
-        vb = jnp.where(m, t.b[tri], 0.0)
-        vc = jnp.where(m, t.c[tri], 0.0)
+        # Pre-differenced Möller–Trumbore edges (e1, e2): the same f32
+        # subtraction the kernel used to do per step, done once here —
+        # bit-identical t, 6 fewer vector ops per entry per visit.
+        vb = jnp.where(m, t.b[tri] - t.a[tri], 0.0)
+        vc = jnp.where(m, t.c[tri] - t.a[tri], 0.0)
         return bmin, bmax, idx, leaf_bit, va, vb, vc
 
     true_ = jnp.ones((cap,), bool)
@@ -307,9 +312,8 @@ def _make_kernel4(pack, count_steps=False, popn=2, rows=_SUB):
             ox, oy, oz = origin
             dx, dy, dz = direc
             t_cur, tri_cur, u_cur, v_cur = state
-            (ax, ay, az, bx, by, bz, cx, cy, cz) = verts
-            e1x, e1y, e1z = bx - ax, by - ay, bz - az
-            e2x, e2y, e2z = cx - ax, cy - ay, cz - az
+            # Slots carry (a, e1, e2) pre-differenced at pack time.
+            (ax, ay, az, e1x, e1y, e1z, e2x, e2y, e2z) = verts
             px = dy * e2z - dz * e2y
             py = dz * e2x - dx * e2z
             pz = dx * e2y - dy * e2x

@@ -17,14 +17,27 @@ import jax.numpy as jnp
 
 from unitysimpleraytracing_tpu import constants as C
 from unitysimpleraytracing_tpu.core.types import Bvh, Scene
-from unitysimpleraytracing_tpu.ops import lbvh, sort, unique
+from unitysimpleraytracing_tpu.ops import lbvh, sah, sort, unique
 
 
-@functools.partial(jax.jit, static_argnames=("sort_impl", "diagnostics"))
-def _build_bvh_jit(scene: Scene, sort_impl: str = "xla", diagnostics: bool = False) -> Bvh:
+@functools.partial(jax.jit, static_argnames=("sort_impl", "diagnostics", "builder"))
+def _build_bvh_jit(
+    scene: Scene,
+    sort_impl: str = "xla",
+    diagnostics: bool = False,
+    builder: str = "karras",
+) -> Bvh:
     keys, sorted_tri = sort.sort_key_val(
         scene.morton, scene.tri_index, impl=sort_impl
     )
+    if builder == "sah":
+        # Sweep SAH over the Morton order (ops/sah.py): better splits, same
+        # hit contract; needs no unique keys, so distribute_keys is skipped.
+        return sah.build_bvh_sah_from_sorted(
+            sorted_tri, scene.aabb_min, scene.aabb_max, scene.count,
+            diagnostics=diagnostics,
+        )
+    assert builder == "karras", builder
     keys = unique.distribute_keys(keys, scene.count)
     return lbvh.build_bvh_from_sorted(
         keys, sorted_tri, scene.aabb_min, scene.aabb_max, scene.count,
@@ -37,8 +50,14 @@ def build_bvh(
     sort_impl: str = "xla",
     diagnostics: bool = False,
     validate: bool = False,
+    builder: str = "karras",
 ) -> Bvh:
-    """Construct the LBVH for a scene. Requires scene.count >= 2.
+    """Construct the BVH for a scene. Requires scene.count >= 2.
+
+    ``builder``: "karras" (default — the reference's radix tree,
+    BVH.compute:94-149, bit-parity surface) or "sah" (sweep SAH over the
+    Morton order, ops/sah.py — measured 1.2-1.4x lower SAH cost, same hit
+    contract; prefer it for static scenes traced many times).
 
     ``diagnostics`` adds the parent links + per-node depth array
     (validation only; nothing in the render path reads them).
@@ -53,14 +72,14 @@ def build_bvh(
     if isinstance(scene.count, int) and scene.count < 2:
         raise ValueError("LBVH needs at least 2 triangles (reference assumes the same)")
     if not validate:
-        return _build_bvh_jit(scene, sort_impl, diagnostics)
+        return _build_bvh_jit(scene, sort_impl, diagnostics, builder)
 
     from unitysimpleraytracing_tpu.utils import validate as V
 
     if isinstance(jnp.asarray(scene.morton), jax.core.Tracer):
         raise ValueError("validate=True needs concrete inputs (outside jit)")
     count = int(scene.count)
-    bvh = _build_bvh_jit(scene, sort_impl, diagnostics=True)
+    bvh = _build_bvh_jit(scene, sort_impl, diagnostics=True, builder=builder)
     # Sort pass (re-run standalone so pre/post states are observable — the
     # fused build never materializes them).
     keys_sorted, tri_sorted = sort.sort_key_val(
