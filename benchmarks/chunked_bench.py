@@ -25,6 +25,9 @@ def main(argv=None):
     ap.add_argument("--impl", default="auto")
     ap.add_argument("--chunk-capacity", type=int, default=163840)
     ap.add_argument("--format", default="bvh4", choices=["bvh4", "bvh2"])
+    ap.add_argument("--builder", default=None, choices=["karras", "sah"])
+    ap.add_argument("--rows", type=int, default=None,
+                    help="pallas4 packet height override (sublanes; 8 default)")
     ap.add_argument("--random-rays", action="store_true",
                     help="incoherent ray batch instead of camera rays (the "
                     "routing win case: packets start chunk-incoherent)")
@@ -53,13 +56,20 @@ def main(argv=None):
         eye=(210.0, 170.0, 260.0), target=(0.0, 0.0, 0.0),
         width=WIDTH, height=HEIGHT, fov_deg=60.0,
     )
+    import time
+
+    t0 = time.perf_counter()
     cbvh = rt.build_bvh_chunked(
-        big, chunk_capacity=args.chunk_capacity, record_format=args.format
+        big, chunk_capacity=args.chunk_capacity, record_format=args.format,
+        builder=args.builder,
     )
+    cbvh.tables.block_until_ready()
+    build_cold_s = time.perf_counter() - t0
     R = WIDTH * HEIGHT
     out = {"n_tris": big.count, "chunks": cbvh.num_chunks,
            "chunk_capacity": cbvh.capacity, "impl": args.impl,
-           "format": args.format}
+           "format": args.format, "builder": args.builder,
+           "rows": args.rows, "build_cold_s": round(build_cold_s, 2)}
     print(f"[chunk] {out}", file=sys.stderr, flush=True)
 
     from unitysimpleraytracing_tpu.pipeline import chunked as chunked_mod
@@ -92,7 +102,7 @@ def main(argv=None):
     for route in (True, False):
         s = measure(
             lambda r=route: chunked_mod.render_hits_chunked(
-                big, cbvh, cam, impl=args.impl, route=r
+                big, cbvh, cam, impl=args.impl, route=r, rows=args.rows
             ).t,
             iters=2, reps=4,
         )

@@ -155,3 +155,45 @@ def test_chunked_frame_and_shadows_match_single_kernel_path():
     # exact ties; bound the disagreeing pixels like the golden tests do.
     diff = np.abs(a - b)
     assert float((diff > 2 / 255).mean()) < 0.002, diff.max()
+
+
+def test_chunked_builder_and_rows_variants_bit_identical():
+    """builder="karras" (override), the traced-build fallback and a rows=4
+    packet-height override must all produce the unrouted default's results:
+    same fold over the same per-chunk candidates (rows only re-tiles the
+    packet; the traced build differs only in table PADDING, which is inert)."""
+    import jax
+
+    mesh = rt.random_triangle_soup(3000, seed=31, bound=9.0, tri_size=0.8)
+    scene = rt.build_scene(mesh)
+    o, d = _rays(2048, seed=32, bound=11.0)
+
+    ref_c = rt.build_bvh_chunked(scene, chunk_capacity=1024, builder="karras")
+    ref = rt.trace_chunked(ref_c, o, d, route=False)
+
+    # rows=4 packets over the same (karras) tables: bit-identical.
+    rows4 = rt.trace_chunked(ref_c, o, d, route=False, rows=4)
+    np.testing.assert_array_equal(np.asarray(rows4.t), np.asarray(ref.t))
+    np.testing.assert_array_equal(np.asarray(rows4.tri), np.asarray(ref.tri))
+
+    # Traced build (inside a caller's jit → worst-case table bound, karras):
+    # same hits as the host-built karras chunks.
+    traced_c = jax.jit(
+        lambda s: rt.build_bvh_chunked(s, chunk_capacity=1024)
+    )(scene)
+    assert traced_c.tables.shape[1] >= ref_c.tables.shape[1]  # padded bound
+    got = rt.trace_chunked(traced_c, o, d, route=False)
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
+    np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(ref.tri))
+
+    # SAH chunks (the concrete-build default): same hit set up to exact-t
+    # ties (the BASELINE tie class; a different tree order can flip only
+    # equal-t winners).
+    sah_c = rt.build_bvh_chunked(scene, chunk_capacity=1024)
+    got = rt.trace_chunked(sah_c, o, d, route=False)
+    gt, st = np.asarray(got.t), np.asarray(ref.t)
+    np.testing.assert_array_equal(
+        gt == rt.constants.MAX_FLOAT, st == rt.constants.MAX_FLOAT
+    )
+    hit = st < rt.constants.MAX_FLOAT
+    np.testing.assert_allclose(gt[hit], st[hit], rtol=2e-6)

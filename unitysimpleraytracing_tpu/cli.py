@@ -120,9 +120,7 @@ def main(argv=None) -> None:
     chunked = mesh.num_triangles > PACKED4_MAX_CAPACITY
     t0 = time.perf_counter()
     if chunked:
-        if args.builder != "karras":
-            print("note: chunked path always uses the karras builder")
-        cbvh = rt.build_bvh_chunked(scene)
+        cbvh = rt.build_bvh_chunked(scene, builder=args.builder)
         cbvh.bvhs.node_aabb_min.block_until_ready()
         bvh = None
         print(f"chunked BVH built ({cbvh.num_chunks} chunks) "

@@ -48,8 +48,12 @@ def trace_rays(
     tables=None,
     t_init=None,
     anyhit_thresh=None,
+    rows: int | None = None,
 ) -> HitRecord:
     """Trace an (R, 3) ray batch with the chosen engine, padding R as needed.
+
+    ``rows`` overrides the pallas4 packet height (sublanes of 128 rays;
+    default 8 = 1024-ray packets — the measured optimum for coherent loads).
 
     Rays should arrive in a coherent order (image-tile order for camera rays).
     ``tables`` optionally carries `trace_pallas.prepare_tables` output so a
@@ -87,6 +91,7 @@ def trace_rays(
             scene, bvh, origins, dirs,
             interpret=jax.default_backend() == "cpu", tables=tables,
             t_init=t_init, anyhit_thresh=anyhit_thresh,
+            **({} if rows is None else {"rows": rows}),
         )
     elif impl == "pallas":
         hits = trace_pallas.traverse_packets_pallas(

@@ -262,7 +262,7 @@ def _fetch4(tab, k, lo, hi, pack):
 
 
 def _make_kernel4(pack, count_steps=False, popn=2, rows=_SUB):
-    assert popn in (1, 2, 4, 8)
+    assert popn in (1, 2, 4, 8, 16)
 
     def _kernel(nodes, rays, out, *rest):
         if count_steps:
@@ -613,7 +613,8 @@ def traverse_packets_pallas4(
         cap4, pack = table_geometry(tables)
     if popn is None:
         # Measured on v5e at 512² (same-session A/Bs, benchmarks/bvh4_ab.py):
-        # 65K tris popn 1/2/4/8 → 20.98/28.8/33.77/36.82 Mrays/s; 260K tris
+        # 65K tris popn 1/2/4/8/16 → 20.98/28.8/33.77/36.82/**30.65** Mrays/s
+        # (16 is past the pipelining knee — dead pops dominate); 260K tris
         # popn 2/4 → 11.4/13.96.  The 2-way-switch fetch (pack=2) erodes
         # deep multi-pop like the BVH2 layouts did — keep it shallow.
         popn = {1: 8, 2: 2}[pack]

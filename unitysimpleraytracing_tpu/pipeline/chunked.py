@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from unitysimpleraytracing_tpu import constants as C
 from unitysimpleraytracing_tpu.core.types import Bvh, HitRecord, Scene, Triangles
-from unitysimpleraytracing_tpu.ops import trace_pallas, trace_pallas4
+from unitysimpleraytracing_tpu.ops import sah, trace_pallas, trace_pallas4
 from unitysimpleraytracing_tpu.ops.dispatch import trace_rays
 from unitysimpleraytracing_tpu.parallel import dist
 
@@ -49,32 +49,106 @@ class ChunkedBvh:
         return self.sscene.shard_capacity
 
 
-@functools.partial(jax.jit, static_argnames=("chunk_capacity", "record_format"))
+def _local_build_sah(morton_l, aabb_min_l, aabb_max_l, count):
+    """Per-shard sweep-SAH build (the ``builder="sah"`` analog of
+    dist._local_build; same degenerate-shard clamping)."""
+    cap = morton_l.shape[0]
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    _, sorted_tri = jax.lax.sort_key_val(morton_l, iota, is_stable=True)
+    count = jnp.maximum(count, 2)
+    return sah.build_bvh_sah_from_sorted(
+        sorted_tri, aabb_min_l, aabb_max_l, count, static_count=cap
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_chunks", "builder"))
+def _partition_build(scene: Scene, num_chunks: int, builder: str):
+    sscene = dist.partition_scene(scene, num_chunks)
+    fn = _local_build_sah if builder == "sah" else dist._local_build
+    bvhs = jax.vmap(fn)(
+        sscene.morton, sscene.aabb_min, sscene.aabb_max, sscene.counts
+    )
+    return sscene, bvhs
+
+
 def build_bvh_chunked(
-    scene: Scene, chunk_capacity: int = 163840, record_format: str = "bvh4"
+    scene: Scene,
+    chunk_capacity: int = 163840,
+    record_format: str = "bvh4",
+    builder: str | None = None,
 ) -> ChunkedBvh:
     """Partition + build one LBVH per chunk (vmapped over chunks).
 
-    Fully jittable: the count-balanced partition runs on device
-    (dist._partition_scene_device), so the 1M-triangle flow never leaves
-    the chip.  The default chunk capacity keeps every chunk in the FLAT
-    table layout (fast static-lane fetch) — measured 1.4x faster at 1M tris
-    than two 512K packed chunks despite the extra kernel launches.
+    Partition + per-chunk build run as one device program; the default chunk
+    capacity keeps every chunk in the FLAT table layout (fast static-lane
+    fetch) — measured 1.4x faster at 1M tris than two 512K packed chunks
+    despite the extra kernel launches, and the flattest point of the
+    measured capacity curve (1M tris, v5e, unrouted camera frame: 16 chunks
+    62.5 ms / 11 chunks 68.1 / **7 chunks 50.4** / 5 chunks 59.7).
 
     ``record_format``: "bvh4" packs the wide 4-child records (the production
     kernel — measured 2.5x the binary kernel at 260K tris, trace_pallas4);
     "bvh2" keeps the binary records.  The table shape tells trace_chunked
-    which kernel to launch."""
+    which kernel to launch.
+
+    ``builder``: per-chunk topology builder.  The measured default is "sah"
+    (ops/sah.py) for concrete builds: the chunked path exists only for big
+    STATIC scenes (the dynamic path is refit + the single kernel), where the
+    one-time build cost buys every frame — same-session v5e A/B at 1M tris:
+    karras 57.5 ms/frame → sah **48.6 ms** (+18%, same hit contract).
+    Traced builds (inside a caller's jit) default to "karras".
+
+    For concrete (non-traced) scenes the BVH4 tables are sized to the ACTUAL
+    max per-chunk record count (one host scalar read at build time) instead
+    of the worst-case (2n+1)/3 bound — ~25% less VMEM per chunk on terrain
+    trees.  Inside a jit trace the worst-case bound is kept."""
+    if isinstance(jnp.asarray(scene.morton), jax.core.Tracer):
+        assert builder in (None, "karras"), "builder='sah' needs concrete inputs"
+        return _build_bvh_chunked_traced(scene, chunk_capacity, record_format)
+    if builder is None:
+        builder = "sah"
     n = scene.count
     num_chunks = max(-(-n // chunk_capacity), 1)
-    sscene = dist.partition_scene(scene, num_chunks)
-    bvhs = jax.vmap(dist._local_build)(
-        sscene.morton, sscene.aabb_min, sscene.aabb_max, sscene.counts
-    )
+    sscene, bvhs = _partition_build(scene, num_chunks, builder)
+    cap = sscene.shard_capacity
+    chunk_bvhs = [_chunk_bvh(bvhs, s, cap) for s in range(num_chunks)]
+    if record_format == "bvh4":
+        infos = [trace_pallas4._node_mask_cached(b) for b in chunk_bvhs]
+        cap4 = max(max(c for _, _, c in infos), 1)
+        tables = jnp.stack(
+            [
+                trace_pallas4.pack_tables4(
+                    _chunk_scene(sscene, s, cap), chunk_bvhs[s],
+                    pack=1, cap4=cap4, mask=infos[s][0], new_id=infos[s][1],
+                )
+                for s in range(num_chunks)
+            ]
+        )
+    else:
+        tables = jnp.stack(
+            [
+                trace_pallas.pack_tables(
+                    _chunk_scene(sscene, s, cap), chunk_bvhs[s],
+                    pack=trace_pallas.auto_pack(cap),
+                )
+                for s in range(num_chunks)
+            ]
+        )
+    return ChunkedBvh(sscene=sscene, bvhs=bvhs, tables=tables)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk_capacity", "record_format"))
+def _build_bvh_chunked_traced(
+    scene: Scene, chunk_capacity: int = 163840, record_format: str = "bvh4"
+) -> ChunkedBvh:
+    """Fully-traced fallback (build_bvh_chunked called inside a caller's jit):
+    the per-chunk record count is not host-readable, so BVH4 tables use the
+    static worst-case bound (≤ (2n+1)/3 even-depth nodes; padding inert)."""
+    n = scene.count
+    num_chunks = max(-(-n // chunk_capacity), 1)
+    sscene, bvhs = _partition_build(scene, num_chunks, "karras")
     cap = sscene.shard_capacity
     if record_format == "bvh4":
-        # Static worst-case record bound (≤ (2n+1)/3 even-depth nodes);
-        # unreachable padding rows are inert.
         cap4 = (2 * cap) // 3 + 2
         tables = jnp.stack(
             [
@@ -128,7 +202,7 @@ def _chunk_bvh(bvhs: Bvh, s: int, cap: int) -> Bvh:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("impl", "route"))
+@functools.partial(jax.jit, static_argnames=("impl", "route", "rows"))
 def trace_chunked(
     cbvh: ChunkedBvh,
     origins: jnp.ndarray,
@@ -136,6 +210,7 @@ def trace_chunked(
     impl: str = "auto",
     route: bool = True,
     anyhit_thresh: jnp.ndarray | None = None,
+    rows: int | None = None,
 ) -> HitRecord:
     """Nearest hit over all chunks; ``tri`` is the ORIGINAL scene triangle id.
 
@@ -222,7 +297,7 @@ def trace_chunked(
         h = trace_rays(
             scene_s, _chunk_bvh(cbvh.bvhs, idx, cap), origins, dirs,
             impl=impl, t_init=best_t, tables=cbvh.tables[idx],
-            anyhit_thresh=anyhit_thresh,
+            anyhit_thresh=anyhit_thresh, rows=rows,
         )
         win = h.t < best_t  # ties → earlier-traced (nearer) chunk
         best_t = jnp.where(win, h.t, best_t)
@@ -249,7 +324,8 @@ def trace_chunked(
 
 
 def render_hits_chunked(
-    scene: Scene, cbvh: ChunkedBvh, cam, impl: str = "auto", route: bool = False
+    scene: Scene, cbvh: ChunkedBvh, cam, impl: str = "auto",
+    route: bool = False, rows: int | None = None,
 ) -> HitRecord:
     """Primary-ray trace of a chunked scene in tile-major packet order
     (mirrors ops/dispatch.camera_trace — reshape/transpose reordering, no
@@ -272,6 +348,7 @@ def render_hits_chunked(
             _tile_major(dirs, h, w, 32),
             impl=impl,
             route=route,
+            rows=rows,
         )
         return HitRecord(
             t=_row_major(hits.t, h, w, 32),
@@ -279,7 +356,7 @@ def render_hits_chunked(
             u=_row_major(hits.u, h, w, 32),
             v=_row_major(hits.v, h, w, 32),
         )
-    return trace_chunked(cbvh, origins, dirs, impl=impl, route=route)
+    return trace_chunked(cbvh, origins, dirs, impl=impl, route=route, rows=rows)
 
 
 def occluded_chunked(
