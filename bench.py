@@ -156,6 +156,20 @@ def main() -> None:
         s2 = trace_s
         _note(f"bvh2 head-to-head skipped: {e}")
 
+    # Static-scene alternative: sweep-SAH tree, same engine (opt-in builder;
+    # karras stays the parity/dynamic default — see README "Topology
+    # builders").  Same-session contrast with the karras headline above.
+    try:
+        sbvh_sah = rt.build_bvh(scene, builder="sah")
+        s_sah = measure(
+            lambda: rt.render_hits(scene, sbvh_sah, cam).t, iters=3
+        )
+        extra["headline_sah_mrays"] = round(WIDTH * HEIGHT / s_sah / 1e6, 2)
+        _note(f"trace[sah tree]: {extra['headline_sah_mrays']} Mrays/s")
+        del sbvh_sah
+    except Exception as e:
+        _note(f"sah headline skipped: {e}")
+
     # Roofline: measured ns/step vs each kernel's component floor.
     try:
         from unitysimpleraytracing_tpu.ops import trace_pallas4

@@ -41,6 +41,7 @@ def test_registry_lists_builtin_engines():
         "packet", "pallas", "pallas4", "perray"
     ]
     assert "pallas" in registry.engines("scan")
+    assert registry.engines("topology") == ["karras", "sah"]
     with pytest.raises(KeyError):
         registry.get("sort", "nope")
 
@@ -92,3 +93,30 @@ def test_profiler_report_and_roofline():
     s = profiling.OpStats("x", seconds=1.0, bytes_accessed=819_000_000_000)
     assert abs(s.roofline_fraction(peak_gbytes_s=819.0) - 1.0) < 1e-6
     assert profiling.sort_bytes(1 << 20) == 4 * 16 * (1 << 20)
+
+
+def test_chunked_checkpoint_roundtrip(tmp_path):
+    """ChunkedBvh persistence: restore must trace bit-identically to the
+    in-memory build (tables, per-chunk trees and the shard map all carried)."""
+    import unitysimpleraytracing_tpu as rt
+    from unitysimpleraytracing_tpu.io.checkpoint import (
+        load_chunked_checkpoint, save_chunked_checkpoint,
+    )
+
+    scene = build_scene(rt.random_triangle_soup(3000, seed=5, bound=9.0,
+                                                tri_size=0.8))
+    cbvh = rt.build_bvh_chunked(scene, chunk_capacity=1024)
+    path = str(tmp_path / "chunked.npz")
+    save_chunked_checkpoint(path, cbvh)
+    cbvh2 = load_chunked_checkpoint(path)
+    assert cbvh2.num_chunks == cbvh.num_chunks
+    np.testing.assert_array_equal(np.asarray(cbvh2.tables), np.asarray(cbvh.tables))
+
+    rng = np.random.default_rng(6)
+    o = jnp.asarray(rng.uniform(-11, 11, size=(1024, 3)), jnp.float32)
+    d = rng.normal(size=(1024, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True), jnp.float32)
+    a = rt.trace_chunked(cbvh, o, d)
+    b = rt.trace_chunked(cbvh2, o, d)
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    np.testing.assert_array_equal(np.asarray(a.tri), np.asarray(b.tri))

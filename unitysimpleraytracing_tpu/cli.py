@@ -78,6 +78,12 @@ def main(argv=None) -> None:
     )
     ap.add_argument("--shadows", action="store_true", help="shadow-ray pass")
     ap.add_argument(
+        "--bvh-cache", default=None, metavar="PATH.npz",
+        help="BVH checkpoint: load the prebuilt BVH from PATH if it exists, "
+        "else build and save it there (io/checkpoint — the resume path the "
+        "reference lacks; it rebuilds every Awake)",
+    )
+    ap.add_argument(
         "--gizmo", action="store_true",
         help="overlay BVH internal-node AABB wireframes in red "
         "(RaytracingMeshDrawer.OnDrawGizmos:108-115)",
@@ -119,16 +125,36 @@ def main(argv=None) -> None:
 
     chunked = mesh.num_triangles > PACKED4_MAX_CAPACITY
     t0 = time.perf_counter()
+    import os
+
+    from unitysimpleraytracing_tpu.io import checkpoint as ckpt
+
     if chunked:
-        cbvh = rt.build_bvh_chunked(scene, builder=args.builder)
-        cbvh.bvhs.node_aabb_min.block_until_ready()
+        if args.bvh_cache and os.path.exists(args.bvh_cache):
+            cbvh = ckpt.load_chunked_checkpoint(args.bvh_cache)
+            print(f"chunked BVH restored ({cbvh.num_chunks} chunks) from "
+                  f"{args.bvh_cache} in {time.perf_counter()-t0:.3f}s")
+        else:
+            cbvh = rt.build_bvh_chunked(scene, builder=args.builder)
+            cbvh.bvhs.node_aabb_min.block_until_ready()
+            print(f"chunked BVH built ({cbvh.num_chunks} chunks) "
+                  f"in {time.perf_counter()-t0:.3f}s")
+            if args.bvh_cache:
+                ckpt.save_chunked_checkpoint(args.bvh_cache, cbvh)
+                print(f"saved {args.bvh_cache}")
         bvh = None
-        print(f"chunked BVH built ({cbvh.num_chunks} chunks) "
-              f"in {time.perf_counter()-t0:.3f}s")
     else:
-        bvh = rt.build_bvh(scene, builder=args.builder)
-        bvh.node_aabb_min.block_until_ready()
-        print(f"BVH built in {time.perf_counter()-t0:.3f}s")
+        if args.bvh_cache and os.path.exists(args.bvh_cache):
+            scene, bvh = ckpt.load_checkpoint(args.bvh_cache)
+            print(f"BVH restored from {args.bvh_cache} "
+                  f"in {time.perf_counter()-t0:.3f}s")
+        else:
+            bvh = rt.build_bvh(scene, builder=args.builder)
+            bvh.node_aabb_min.block_until_ready()
+            print(f"BVH built in {time.perf_counter()-t0:.3f}s")
+            if args.bvh_cache:
+                ckpt.save_checkpoint(args.bvh_cache, scene, bvh)
+                print(f"saved {args.bvh_cache}")
 
     lo = mesh.positions.min(axis=(0, 1))
     hi = mesh.positions.max(axis=(0, 1))

@@ -44,6 +44,56 @@ def save_checkpoint(path: str, scene: Scene, bvh: Bvh) -> None:
     np.savez_compressed(path, **data)
 
 
+_SSCENE_FIELDS = (
+    "tri_a", "tri_b", "tri_c", "a_uv", "b_uv", "c_uv",
+    "a_normal", "b_normal", "c_normal", "aabb_min", "aabb_max",
+    "morton", "global_tri", "counts", "range_min", "range_max",
+)
+
+
+def save_chunked_checkpoint(path: str, cbvh) -> None:
+    """Persist a ``ChunkedBvh`` (pipeline/chunked.py) to one ``.npz``.
+
+    The chunked build is the expensive one (partition + S per-chunk
+    sweep-SAH trees + table packing — tens of seconds cold at 1M tris), and
+    it exists only for static scenes, so persisting it is the high-value
+    resume path: restore + trace with zero rebuild."""
+    data = {"meta/version": np.int64(_FORMAT_VERSION),
+            "meta/kind": np.bytes_(b"chunked"),
+            "meta/bvh_count": np.int64(cbvh.bvhs.count)}
+    for f in _SSCENE_FIELDS:
+        data[f"sscene/{f}"] = np.asarray(getattr(cbvh.sscene, f))
+    for f in _BVH_FIELDS:
+        data[f"cbvh/{f}"] = np.asarray(getattr(cbvh.bvhs, f))
+    data["cbvh/tables"] = np.asarray(cbvh.tables)
+    np.savez_compressed(path, **data)
+
+
+def load_chunked_checkpoint(path: str):
+    """Restore a ``ChunkedBvh`` saved by :func:`save_chunked_checkpoint`."""
+    import jax.numpy as jnp
+
+    from unitysimpleraytracing_tpu.parallel.dist import ShardedScene
+    from unitysimpleraytracing_tpu.pipeline.chunked import ChunkedBvh
+
+    z = np.load(path)
+    version = int(z["meta/version"])
+    if version != _FORMAT_VERSION:
+        raise ValueError(f"checkpoint version {version} != {_FORMAT_VERSION}")
+    if bytes(z["meta/kind"]) != b"chunked":
+        raise ValueError("not a chunked checkpoint (use load_checkpoint)")
+    sscene = ShardedScene(
+        **{f: jnp.asarray(z[f"sscene/{f}"]) for f in _SSCENE_FIELDS}
+    )
+    bvhs = Bvh(
+        **{f: jnp.asarray(z[f"cbvh/{f}"]) for f in _BVH_FIELDS},
+        count=int(z["meta/bvh_count"]),
+    )
+    return ChunkedBvh(
+        sscene=sscene, bvhs=bvhs, tables=jnp.asarray(z["cbvh/tables"])
+    )
+
+
 def load_checkpoint(path: str) -> tuple[Scene, Bvh]:
     """Restore (scene, bvh) saved by :func:`save_checkpoint`."""
     import jax.numpy as jnp

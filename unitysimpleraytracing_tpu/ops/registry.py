@@ -20,6 +20,9 @@ Stages and their engines:
 - ``exchange``: the multi-device ray-exchange strategies (parallel/dist):
                 "gather" (all_gather combine), "ring" (ppermute
                 circulation), "shuffle" (ragged all-to-all routing)
+- ``topology``: BVH builders over the sorted leaf order: "karras" (the
+                reference's radix tree, ops/lbvh — parity surface),
+                "sah" (sweep SAH, ops/sah — static-scene quality)
 """
 from __future__ import annotations
 
@@ -91,6 +94,11 @@ def _register_builtins() -> None:
     register("exchange", "gather", dist.render_hits_sharded)
     register("exchange", "ring", dist.render_hits_ring)
     register("exchange", "shuffle", dist.render_hits_shuffle)
+
+    from unitysimpleraytracing_tpu.ops import lbvh, sah
+
+    register("topology", "karras", lbvh.build_bvh_from_sorted)
+    register("topology", "sah", sah.build_bvh_sah_from_sorted)
 
 
 _register_builtins()
