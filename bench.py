@@ -126,8 +126,13 @@ def main() -> None:
     )
     _note("scene ready")
 
-    build_s = measure(lambda: rt.build_bvh(scene), iters=3)
-    _note(f"build 65K: {build_s*1e3:.2f} ms")
+    # Build-SPEED metric stays on the karras radix tree (the LBVH algorithm,
+    # round-over-round comparable); the traversal rows below use build_bvh's
+    # measured DEFAULT (sweep-SAH for concrete static scenes).
+    build_s = measure(lambda: rt.build_bvh(scene, builder="karras"), iters=3)
+    _note(f"build 65K (karras): {build_s*1e3:.2f} ms")
+    sah_build_s = measure(lambda: rt.build_bvh(scene), iters=3)
+    _note(f"build 65K (sah default): {sah_build_s*1e3:.2f} ms")
     bvh = rt.build_bvh(scene)
 
     from unitysimpleraytracing_tpu.ops.dispatch import resolve_impl
@@ -139,7 +144,9 @@ def main() -> None:
     hit_frac = float(rt.render_hits(scene, bvh, cam).hit.mean())
     extra.update(
         n_tris=n_tris, rays=WIDTH * HEIGHT, hit_frac=round(hit_frac, 4),
-        lbvh_build_ms=round(build_s * 1e3, 3), traversal_engine=engine,
+        lbvh_build_ms=round(build_s * 1e3, 3),
+        sah_build_ms=round(sah_build_s * 1e3, 3),
+        traversal_engine=engine, builder="sah",
     )
 
     # The binary-record kernel head-to-head (the round-2 production engine).
@@ -156,19 +163,17 @@ def main() -> None:
         s2 = trace_s
         _note(f"bvh2 head-to-head skipped: {e}")
 
-    # Static-scene alternative: sweep-SAH tree, same engine (opt-in builder;
-    # karras stays the parity/dynamic default — see README "Topology
-    # builders").  Same-session contrast with the karras headline above.
+    # Builder contrast: the karras radix tree (the reference's algorithm,
+    # the bit-parity surface, and the traced/dynamic default), same engine —
+    # same-session contrast with the sweep-SAH headline above.
     try:
-        sbvh_sah = rt.build_bvh(scene, builder="sah")
-        s_sah = measure(
-            lambda: rt.render_hits(scene, sbvh_sah, cam).t, iters=3
-        )
-        extra["headline_sah_mrays"] = round(WIDTH * HEIGHT / s_sah / 1e6, 2)
-        _note(f"trace[sah tree]: {extra['headline_sah_mrays']} Mrays/s")
-        del sbvh_sah
+        sbvh_k = rt.build_bvh(scene, builder="karras")
+        s_k = measure(lambda: rt.render_hits(scene, sbvh_k, cam).t, iters=3)
+        extra["headline_karras_mrays"] = round(WIDTH * HEIGHT / s_k / 1e6, 2)
+        _note(f"trace[karras tree]: {extra['headline_karras_mrays']} Mrays/s")
+        del sbvh_k
     except Exception as e:
-        _note(f"sah headline skipped: {e}")
+        _note(f"karras headline skipped: {e}")
 
     # Roofline: measured ns/step vs each kernel's component floor.
     try:
@@ -248,7 +253,7 @@ def main() -> None:
         big = rt.build_scene(
             rt.terrain_mesh(res=BIG_RES, size=300.0, amplitude=30.0, seed=0)
         )
-        s = measure(lambda: rt.build_bvh(big), iters=2, reps=4)
+        s = measure(lambda: rt.build_bvh(big, builder="karras"), iters=2, reps=4)
         extra["lbvh_build_1m_ms"] = round(s * 1e3, 2)
         extra["n_tris_1m"] = big.count
         _note(f"build 1M: {s*1e3:.1f} ms")

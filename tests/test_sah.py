@@ -84,7 +84,7 @@ def test_sah_cost_beats_karras_on_terrain():
         sa = e[:, 0] * e[:, 1] + e[:, 1] * e[:, 2] + e[:, 2] * e[:, 0]
         return float(np.sum(sa) / sa[0])
 
-    karras = cost(build_bvh(scene))
+    karras = cost(build_bvh(scene, builder="karras"))
     swept = cost(build_bvh(scene, builder="sah"))
     assert swept < karras, (swept, karras)
 

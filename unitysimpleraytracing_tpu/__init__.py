@@ -38,6 +38,7 @@ from unitysimpleraytracing_tpu.pipeline.chunked import (
 from unitysimpleraytracing_tpu.pipeline.render import (
     frame_to_image,
     render_frame,
+    render_frames,
     render_hits,
     render_rgba,
 )
@@ -68,6 +69,7 @@ __all__ = [
     "random_triangle_soup",
     "terrain_mesh",
     "render_frame",
+    "render_frames",
     "render_hits",
     "render_hits_chunked",
     "render_frame_chunked",

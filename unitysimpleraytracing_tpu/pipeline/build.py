@@ -50,14 +50,18 @@ def build_bvh(
     sort_impl: str = "xla",
     diagnostics: bool = False,
     validate: bool = False,
-    builder: str = "karras",
+    builder: str | None = None,
 ) -> Bvh:
     """Construct the BVH for a scene. Requires scene.count >= 2.
 
-    ``builder``: "karras" (default — the reference's radix tree,
-    BVH.compute:94-149, bit-parity surface) or "sah" (sweep SAH over the
-    Morton order, ops/sah.py — measured 1.2-1.4x lower SAH cost, same hit
-    contract; prefer it for static scenes traced many times).
+    ``builder``: "karras" (the reference's radix tree, BVH.compute:94-149,
+    bit-parity surface) or "sah" (sweep SAH over the Morton order,
+    ops/sah.py — measured 1.2-1.4x lower SAH cost, same hit contract).
+    The measured default (``None``) mirrors build_bvh_chunked: concrete
+    builds resolve to "sah" (a static scene is traced many times — the
+    one-time build cost buys +6-9% on every frame, same-session v5e A/Bs
+    at 65K/260K tris), traced builds (inside a caller's jit — per-frame
+    rebuild loops, where build SPEED is the metric) resolve to "karras".
 
     ``diagnostics`` adds the parent links + per-node depth array
     (validation only; nothing in the render path reads them).
@@ -71,6 +75,9 @@ def build_bvh(
     """
     if isinstance(scene.count, int) and scene.count < 2:
         raise ValueError("LBVH needs at least 2 triangles (reference assumes the same)")
+    if builder is None:
+        traced = isinstance(jnp.asarray(scene.morton), jax.core.Tracer)
+        builder = "karras" if traced else "sah"
     if not validate:
         return _build_bvh_jit(scene, sort_impl, diagnostics, builder)
 
