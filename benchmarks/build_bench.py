@@ -83,8 +83,13 @@ def main() -> None:
     )
     note(f"refit {stages['refit']*1e3:.3f} ms")
 
-    full_s = meas(lambda: rt.build_bvh(scene))
-    note(f"full build {full_s*1e3:.3f} ms")
+    # Pinned to karras so the full build matches the per-stage breakdown
+    # above (stage-sum sanity) and stays round-over-round comparable with
+    # bench.py's build-speed rows; the sah default is reported separately.
+    full_s = meas(lambda: rt.build_bvh(scene, builder="karras"))
+    note(f"full build (karras) {full_s*1e3:.3f} ms")
+    sah_s = meas(lambda: rt.build_bvh(scene, builder="sah"))
+    note(f"full build (sah) {sah_s*1e3:.3f} ms")
 
     bvh = rt.build_bvh(scene)
     refit_s = meas(lambda: rt.refit_bvh(scene, bvh))
@@ -121,6 +126,8 @@ def main() -> None:
         "unit": "ms",
         "n_tris": n,
         "device": str(jax.devices()[0]),
+        "builder": "karras",
+        "sah_build_ms": round(sah_s * 1e3, 3),
         "stages_ms": {k: round(v * 1e3, 4) for k, v in stages.items()},
         "refit_bvh_ms": round(refit_s * 1e3, 4),
         "dynamic_rebuild_hz": round(1.0 / rebuild_s, 2),

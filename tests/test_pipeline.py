@@ -116,3 +116,41 @@ def test_frame_to_image_flips_rows():
     frame = render_frame(scene, bvh, cam, tex, jnp.asarray([0.0, 0.0, 0.0]))
     img = frame_to_image(frame)
     np.testing.assert_array_equal(img, np.asarray(frame)[::-1])
+
+
+def test_capacity_contract_raises_typed_error(monkeypatch):
+    """The library path must never silently fall off the VMEM cliff on TPU:
+    auto above the single-kernel bound raises CapacityError pointing at the
+    chunked path (the reference's analog: a hard, explicit 524 288 capacity,
+    Constants.cs:3-6).  Explicit impl='packet' remains available."""
+    import pytest
+
+    from unitysimpleraytracing_tpu.ops import dispatch
+
+    monkeypatch.setattr(dispatch.jax, "default_backend", lambda: "tpu")
+    with pytest.raises(dispatch.CapacityError, match="chunked"):
+        dispatch.resolve_impl("auto", 700_000)
+    assert dispatch.resolve_impl("auto", 65_000) == "pallas4"
+    assert dispatch.resolve_impl("auto", 590_000) == "pallas"
+    assert dispatch.resolve_impl("packet", 700_000) == "packet"
+
+    # render_frame surfaces the same typed error before any device work.
+    import flax.struct
+
+    import unitysimpleraytracing_tpu as rt
+
+    cap = 700_000
+    z1 = jnp.zeros((cap,), jnp.int32)
+    zb = jnp.zeros((cap,), bool)
+    z3 = jnp.zeros((cap, 3), jnp.float32)
+    bvh = rt.Bvh(
+        left=z1, right=z1, left_is_leaf=zb, right_is_leaf=zb,
+        internal_parent=z1, leaf_parent=z1, range_first=z1, range_last=z1,
+        split_axis=z1, node_aabb_min=z3, node_aabb_max=z3, sorted_tri=z1,
+        depth=z1, count=cap,
+    )
+    scene = rt.build_scene(rt.cube_mesh(size=1.0))
+    cam = rt.make_camera(eye=(0, 0, 3), target=(0, 0, 0), width=32, height=32)
+    tex = rt.solid_texture((1, 1, 1, 1))
+    with pytest.raises(dispatch.CapacityError):
+        rt.render_frame(scene, bvh, cam, tex, np.zeros(3, np.float32))

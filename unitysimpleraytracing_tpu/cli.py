@@ -261,7 +261,7 @@ def main(argv=None) -> None:
 
         eyes = list(orbit_eyes(eye, target, args.orbit))
         group = max(1, (1 << 22) // (args.width * args.height))  # ~4M rays
-        frames_cams = []
+        idx = 0
         for lo in range(0, args.orbit, group):
             cams = [cam_at(e) for e in eyes[lo:lo + group]]
             stack = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
@@ -271,9 +271,15 @@ def main(argv=None) -> None:
             )
             batch.block_until_ready()
             times.append((time.perf_counter() - t0) / len(cams))
-            frames_cams += list(zip(batch, cams))
-        for i, (frame, cam) in enumerate(frames_cams):
-            write_png(f"{stem}_{i:03d}.{ext or 'png'}", overlay(frame, cam))
+            # PNGs written (and frames pulled to host) per group so device
+            # memory holds at most one group of frames alongside the tables —
+            # long 1080p orbits would otherwise accumulate ~32 MB/frame.
+            for frame, cam in zip(np.asarray(batch), cams):
+                write_png(f"{stem}_{idx:03d}.{ext or 'png'}", overlay(frame, cam))
+                idx += 1
+        if len(times) == 1:
+            print("orbit-batch: single group — steady ms/frame below is "
+                  "compile-inclusive (no warm group to exclude)")
     else:
         for i, eye_i in enumerate(orbit_eyes(eye, target, args.orbit)):
             cam = cam_at(eye_i)

@@ -28,6 +28,19 @@ from unitysimpleraytracing_tpu.ops import trace, trace_packet, trace_pallas, tra
 PALLAS_MAX_CAPACITY = trace_pallas.PACKED_MAX_CAPACITY
 
 
+class CapacityError(ValueError):
+    """Scene exceeds the single-kernel traversal capacity on TPU.
+
+    The reference makes its envelope explicit by allocating everything at a
+    hard 524 288-element cap (Constants.cs:3-6).  This framework's explicit
+    envelope: the Pallas kernels hold their traversal tables VMEM-resident,
+    which bounds a single-BVH dispatch at ~600K triangles — beyond it, use
+    ``build_bvh_chunked`` + ``render_frame_chunked``/``trace_chunked`` (the
+    measured large-scene path, what the CLI auto-routes to), or pass
+    ``impl="packet"`` explicitly to accept the ~100x-slower XLA fallback.
+    Raised instead of silently falling off the performance cliff."""
+
+
 def resolve_impl(impl: str, capacity: int) -> str:
     if impl != "auto":
         return impl
@@ -36,6 +49,14 @@ def resolve_impl(impl: str, capacity: int) -> str:
         return "pallas4"
     if on_tpu and capacity <= PALLAS_MAX_CAPACITY:
         return "pallas"
+    if on_tpu:
+        raise CapacityError(
+            f"scene capacity {capacity} exceeds the single-BVH kernel bound "
+            f"({PALLAS_MAX_CAPACITY} triangles of VMEM-resident tables). Use "
+            f"build_bvh_chunked + render_frame_chunked/trace_chunked for "
+            f"large scenes (pipeline/chunked.py), or request impl='packet' "
+            f"explicitly to accept the slow XLA fallback."
+        )
     return "packet"
 
 
@@ -119,6 +140,7 @@ def occluded(
     impl: str = "auto",
     eps: float = 4e-3,
     tables=None,
+    origin_bound: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Shadow/occlusion query: True where geometry blocks the ray beyond
     ``eps`` of its origin.  A capability beyond the reference (its shading
@@ -132,11 +154,20 @@ def occluded(
     nearest-hit compare.  Starting from outside the scene no box contains the
     origin, so every accepted t is positive; anything strictly between the
     far point and ``origin + eps·dir`` is a real occluder.
+
+    ``origin_bound``: optional scalar upper bound on ``max|origins|``.  By
+    default the far scale is derived from the actual batch, which makes the
+    arithmetic depend on which rays share the call — callers that need
+    batch-invariant results (the shadow passes, which must be bit-identical
+    whether frames are rendered one at a time or batched) pass a bound
+    derived from the scene alone.
     """
     ext = jnp.maximum(
         jnp.max(jnp.abs(scene.aabb_min)), jnp.max(jnp.abs(scene.aabb_max))
     )
-    far = 4.0 * ext + jnp.max(jnp.abs(origins)) + 1.0
+    if origin_bound is None:
+        origin_bound = jnp.max(jnp.abs(origins))
+    far = 4.0 * ext + origin_bound + 1.0
     back_origins = origins + dirs * far
     # Occlusion needs a boolean, not the nearest hit: the any-hit threshold
     # lets the kernel retire a ray at its FIRST qualifying hit (t collapses

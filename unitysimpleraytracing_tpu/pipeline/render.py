@@ -45,6 +45,16 @@ def render_hits(scene: Scene, bvh: Bvh, cam: Camera, impl: str = "auto") -> HitR
     return _render_hits_impl(scene, bvh, cam, _prepared(scene, bvh, impl), impl)
 
 
+def _shadow_origin_bound(scene, miss_o):
+    """Scene-derived upper bound on max|shadow origin| (see _shadow_mask):
+    hit-point origins lie within the scene box plus the 1e-3 light offset
+    (≤ ext + 1), miss pixels use the concrete miss_o."""
+    ext = jnp.maximum(
+        jnp.max(jnp.abs(scene.aabb_min)), jnp.max(jnp.abs(scene.aabb_max))
+    )
+    return jnp.maximum(jnp.max(jnp.abs(miss_o)), ext + 1.0)
+
+
 def _shadow_mask(scene, bvh, hits, impl, cam, tables=None):
     """Occlusion toward the reference's fixed directional light (1,1,1):
     shadow rays start at the hit point, offset along the light to avoid
@@ -82,15 +92,25 @@ def _shadow_mask(scene, bvh, hits, impl, cam, tables=None):
     p = o + jnp.where(hitm, hits.t[:, None], 0.0) * d
     dirs = jnp.where(hitm, light[None, :], miss_d[None, :])
     origins = jnp.where(hitm, p + light[None, :] * 1e-3, miss_o[None, :])
+    # Frame-invariant far scale for occluded(): a bound on max|origins| from
+    # the scene alone (hit points sit inside the scene box + the 1e-3 light
+    # offset; miss pixels use miss_o) — the SAME arithmetic whether one frame
+    # or a batch of frames shares the occlusion call (render_frames), so the
+    # batched shadow pass is bit-identical to per-frame calls by
+    # construction, not by margin.
+    origin_bound = _shadow_origin_bound(scene, miss_o)
     h, w_ = cam.height, cam.width
     if h % 32 == 0 and w_ % 32 == 0:
         occ = occluded(
             scene, bvh,
             _tile_major(origins, h, w_, 32), _tile_major(dirs, h, w_, 32),
-            impl=impl, tables=tables,
+            impl=impl, tables=tables, origin_bound=origin_bound,
         )
         return _row_major(occ, h, w_, 32) & hits.hit
-    return occluded(scene, bvh, origins, dirs, impl=impl, tables=tables) & hits.hit
+    return occluded(
+        scene, bvh, origins, dirs, impl=impl, tables=tables,
+        origin_bound=origin_bound,
+    ) & hits.hit
 
 
 @functools.partial(jax.jit, static_argnames=("impl", "shadows"))
@@ -183,7 +203,10 @@ def _render_frames_impl(scene, bvh, cams, tex, background, tables, impl, shadows
         p = ot + jnp.where(hitm, hits.t[:, None], 0.0) * dt
         sdirs = jnp.where(hitm, light[None, :], miss_d[None, :])
         sorigins = jnp.where(hitm, p + light[None, :] * 1e-3, miss_o[None, :])
-        shadow = occluded(scene, bvh, sorigins, sdirs, impl=impl, tables=tables) & hit
+        shadow = occluded(
+            scene, bvh, sorigins, sdirs, impl=impl, tables=tables,
+            origin_bound=_shadow_origin_bound(scene, miss_o),
+        ) & hit
 
     def unbatch(x):
         x = x.reshape(f, h * w)
