@@ -25,6 +25,9 @@ def main(argv=None):
                     help="packet height in 128-lane sublanes (8 = 1024 rays)")
     ap.add_argument("--skip-bvh2", action="store_true")
     ap.add_argument("--builder", default="karras", choices=["karras", "sah"])
+    ap.add_argument("--compress", action="store_true",
+                    help="also A/B the compressed (bf16-pair box, 52-slot) "
+                    "record table against the plain 64-slot one, interleaved")
     args = ap.parse_args(argv)
 
     import jax
@@ -97,6 +100,38 @@ def main(argv=None):
             ok = bool(np.array_equal(t_g != rt.constants.MAX_FLOAT, hit))
             ok = ok and bool(np.allclose(t_g[hit], t_r[hit], rtol=4e-6, atol=0))
             out[key]["parity_vs_bvh2"] = ok
+
+    if args.compress and pack4 == 1:
+        # Interleaved rounds (drift-robust): plain vs compressed records,
+        # same popn default, same rays — the fetch-floor experiment of
+        # VERDICT r3 item 4 (52 vs 64 fetched slots per record, ~30 scalar
+        # decode ops bought back).
+        from unitysimpleraytracing_tpu.utils.profiling import measure_interleaved
+
+        tablesc = trace_pallas4.compress_tables4(tables4)
+        fns = {
+            "plain": lambda: trace_pallas4.traverse_packets_pallas4(
+                scene, bvh, o, d, tables=tables4, rows=args.rows
+            ).t,
+            "compressed": lambda: trace_pallas4.traverse_packets_pallas4(
+                scene, bvh, o, d, tables=tablesc, rows=args.rows
+            ).t,
+        }
+        res = measure_interleaved(fns, iters=5, reps=4)
+        for k, (med, mn, samples) in res.items():
+            out[f"bvh4_{k}"] = {
+                "mrays_med": round(R / med / 1e6, 2),
+                "mrays_min_sample": round(R / mn / 1e6, 2),
+                "ms_samples": [round(s * 1e3, 2) for s in samples],
+            }
+            print(f"[ab] {k}: med {med*1e3:.2f} ms "
+                  f"({out[f'bvh4_{k}']['mrays_med']} Mrays/s)",
+                  file=sys.stderr, flush=True)
+        t_p = np.asarray(fns["plain"]())
+        t_c = np.asarray(fns["compressed"]())
+        out["compress_parity_t"] = bool(np.array_equal(t_p, t_c))
+        print(f"[ab] compress parity: {out['compress_parity_t']}",
+              file=sys.stderr, flush=True)
 
     print(json.dumps(out))
     return 0

@@ -33,6 +33,10 @@ def main(argv=None):
                     "routing win case: packets start chunk-incoherent)")
     ap.add_argument("--per-chunk", action="store_true",
                     help="also time each chunk's launch separately")
+    ap.add_argument("--compact", default="none,auto",
+                    help="comma-separated compaction variants to A/B on the "
+                    "camera frame: 'none', 'auto', or schedule positions "
+                    "like '1' / '1+3' (e.g. --compact none,auto,1+3)")
     args = ap.parse_args(argv)
 
     import jax
@@ -99,19 +103,68 @@ def main(argv=None):
         print(json.dumps(out))
         return 0
 
-    for route in (True, False):
-        s = measure(
-            lambda r=route: chunked_mod.render_hits_chunked(
-                big, cbvh, cam, impl=args.impl, route=r, rows=args.rows
-            ).t,
-            iters=2, reps=4,
-        )
-        key = "frame_ms" if route else "frame_ms_unrouted"
-        out[key] = round(s * 1e3, 1)
-        if route:
-            out["mrays_per_s"] = round(R / s / 1e6, 2)
-        print(f"[chunk] frame route={route}: {out[key]} ms",
+    def parse_compact(spec):
+        if spec == "none":
+            return None
+        if spec == "auto":
+            return "auto"
+        return int(spec)
+
+    from unitysimpleraytracing_tpu.utils.profiling import measure_interleaved
+
+    specs = args.compact.split(",")
+    fns = {
+        spec: (lambda c=parse_compact(spec): chunked_mod.render_hits_chunked(
+            big, cbvh, cam, impl=args.impl, route=False, rows=args.rows,
+            compact=c,
+        ).t)
+        for spec in specs
+    }
+    # Interleaved amortized rounds: the tunneled chip's speed drifts within a
+    # session, so sequential-block A/Bs are unreliable — round-robin sampling
+    # hits every variant with the same drift; median-of-rounds compares.
+    res = measure_interleaved(fns, iters=6, reps=3)
+    for spec in specs:
+        med, mn, samples = res[spec]
+        out[f"frame_ms_compact_{spec}"] = round(med * 1e3, 1)
+        out[f"frame_ms_min_compact_{spec}"] = round(mn * 1e3, 1)
+        out[f"mrays_compact_{spec}"] = round(R / med / 1e6, 2)
+        print(f"[chunk] frame compact={spec}: med {med*1e3:.1f} ms / min "
+              f"{mn*1e3:.1f} ms ({out[f'mrays_compact_{spec}']} Mrays/s) "
+              f"samples={[round(s*1e3,1) for s in samples]}",
               file=sys.stderr, flush=True)
+    ref_hits = None
+    for spec in specs:
+        h = chunked_mod.render_hits_chunked(
+            big, cbvh, cam, impl=args.impl, route=False, rows=args.rows,
+            compact=parse_compact(spec),
+        )
+        if ref_hits is None:
+            ref_hits = h
+        else:
+            # t is order-independent (strict-< fold); tri may differ only on
+            # EXACT-t ties (packet re-composition changes traversal order).
+            t_eq = bool(np.array_equal(np.asarray(h.t), np.asarray(ref_hits.t)))
+            tri_diff = int((np.asarray(h.tri) != np.asarray(ref_hits.tri)).sum())
+            out[f"parity_t_{spec}"] = t_eq
+            out[f"tri_tie_flips_{spec}"] = tri_diff
+            print(f"[chunk] parity {spec}: t_equal={t_eq} "
+                  f"tri_flips={tri_diff}", file=sys.stderr, flush=True)
+    best = min(
+        (v for k, v in out.items() if k.startswith("frame_ms_compact_")),
+    )
+    out["frame_ms"] = out.get("frame_ms_compact_auto", best)
+    out["mrays_per_s"] = round(R / (out["frame_ms"] / 1e3) / 1e6, 2)
+
+    s = measure(
+        lambda: chunked_mod.render_hits_chunked(
+            big, cbvh, cam, impl=args.impl, route=True, rows=args.rows
+        ).t,
+        iters=2, reps=4,
+    )
+    out["frame_ms_routed"] = round(s * 1e3, 1)
+    print(f"[chunk] frame routed: {out['frame_ms_routed']} ms",
+          file=sys.stderr, flush=True)
 
     if args.per_chunk:
         # Time each chunk's launch separately (static chunk index, real

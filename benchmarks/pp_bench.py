@@ -32,7 +32,19 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--impl", default="auto")
     ap.add_argument("--cpu", action="store_true", default=True)
+    ap.add_argument("--sweep", default=None,
+                    help="comma-separated tri counts; emits one row per size "
+                    "so the stage breakdown shows where the 2-chip model's "
+                    "min(build, trace) > link crossover sits")
     args = ap.parse_args(argv)
+    if args.sweep:
+        rc = 0
+        for tris in args.sweep.split(","):
+            rc |= main([
+                "--tris", tris, "--rays", str(args.rays),
+                "--frames", str(args.frames), "--impl", args.impl,
+            ])
+        return rc
 
     os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=2")
     import jax
@@ -96,6 +108,41 @@ def main(argv=None):
     t_serial = timed(run_serial)
     t_pp = timed(run_pp)
 
+    # Per-STAGE times (VERDICT r3 item 8): the PP model's inputs.  The
+    # 2-core virtual mesh cannot show a parallel speedup (both stages share
+    # the cores and XLA:CPU collectives spin-wait), but the stage breakdown
+    # is real: steady-state PP = max(build, trace) + link, serial = build +
+    # trace — PP pays on 2 real chips iff min(build, trace) > link overhead.
+    @jax.jit
+    def build_stage(pos):
+        s2 = deform_scene(scene, pos)
+        return rt.build_bvh(s2).node_aabb_min
+
+    bvh0 = rt.build_bvh(deform_scene(scene, positions[0]))
+
+    @jax.jit
+    def trace_stage(pos):
+        s2 = deform_scene(scene, pos)
+        return dispatch.trace_rays(s2, bvh0, origins, dirs, impl=args.impl).t
+
+    def timed_stage(fn, reps=6):
+        jax.block_until_ready(fn(positions[0]))
+        t0 = time.perf_counter()
+        r = None
+        for i in range(reps):
+            r = fn(positions[i % F])
+        jax.block_until_ready(r)
+        return (time.perf_counter() - t0) / reps
+
+    t_build = timed_stage(build_stage)
+    t_trace = timed_stage(trace_stage)
+    model_max = max(t_build, t_trace)
+    # Stage-link payload on 2 real chips: the ppermute moves the (rays in,
+    # hits out) block between stages once per step — bytes / v5e ICI ~45 GB/s.
+    link_bytes = args.rays * (6 * 4 + 4 * 4)
+    link_s = link_bytes / 45e9
+    model_speedup = (t_build + t_trace) / (model_max + link_s)
+
     # Exactness spot check (same engine both sides).
     got = run_pp()
     want = np.stack([np.asarray(serial_frame(positions[i])) for i in range(F)])
@@ -109,8 +156,15 @@ def main(argv=None):
         "impl": args.impl,
         "serial_ms_per_frame": round(t_serial / F * 1e3, 2),
         "pipelined_ms_per_frame": round(t_pp / F * 1e3, 2),
+        "build_stage_ms": round(t_build * 1e3, 2),
+        "trace_stage_ms": round(t_trace * 1e3, 2),
+        "model_steady_ms": round(model_max * 1e3, 2),
+        "model_link_ms": round(link_s * 1e3, 4),
+        "model_2chip_speedup": round(model_speedup, 3),
+        "model_pays_on_2_chips": bool(min(t_build, t_trace) > link_s),
         "exact": exact,
         "devices": len(jax.devices()),
+        "platform": jax.default_backend(),
     }
     print(json.dumps(row))
     return 0 if exact else 1

@@ -64,6 +64,9 @@ def main(argv=None):
                     "(parity + exchange_fraction evidence; timings host-bound)")
     ap.add_argument("--out", default=None,
                     help="append result rows to this JSON-lines file")
+    ap.add_argument("--reps", type=int, default=4,
+                    help="timing reps per row (1 is fine for host-bound "
+                    "virtual-mesh rows, where timings are not evidence)")
     args = ap.parse_args(argv)
 
     if args.smoke or args.cpu:
@@ -121,15 +124,21 @@ def main(argv=None):
         def step(ss, o, d):
             return render(ss, o, d, mesh, impl=args.impl)
 
-        sec = _timed(lambda: step(ss, origins, dirs)[0])
+        sec = _timed(lambda: step(ss, origins, dirs)[0], reps=args.reps)
         rate = n_rays / sec / 1e6
-        if base_rate is None:
-            base_rate = rate / ndev
-        eff = rate / (base_rate * ndev)
         row = {
             "devices": ndev, "dp": dp, "tp": tp, "rays": n_rays,
-            "mrays_per_s": round(rate, 3), "scaling_efficiency": round(eff, 4),
+            "mrays_per_s": round(rate, 3),
         }
+        # A single-point run has no cross-device trend to normalize against:
+        # emit baseline: self instead of a vacuous efficiency of 1.0 (the
+        # round-3 artifact's full-size rows invited over-reading).
+        if len(sizes) == 1:
+            row["baseline"] = "self"
+        else:
+            if base_rate is None:
+                base_rate = rate / ndev
+            row["scaling_efficiency"] = round(rate / (base_rate * ndev), 4)
         if args.engine == "shuffle":
             # Actual exchanged rays / the ring's R*S circulation volume.
             o_np, d_np = np.asarray(origins), np.asarray(dirs)
@@ -166,14 +175,39 @@ def main(argv=None):
         results.append(row)
         print(json.dumps(row), flush=True)
 
+    # Communication/compute model on v5e ICI (README "Scaling model"): ring
+    # circulates 60 B/ray/hop (15 f32 payload); shuffle moves only overlapped
+    # copies (60 B × exchange_fraction amortized); each hop overlaps a
+    # traversal of the local rays at the measured ~27 ns/ray.  The ratio is
+    # what decides linearity on real hardware — virtual-mesh TIMINGS here are
+    # host-bound and not evidence (platform field says which).
+    ICI_GBPS, COMPUTE_NS_PER_RAY = 45.0, 27.0
+    exch = [r["exchange_fraction"] for r in results if "exchange_fraction" in r]
+    bytes_hop = 60.0 * (sum(exch) / len(exch) if exch else 1.0)
+    model = {
+        "bytes_per_ray_per_hop": round(bytes_hop, 1),
+        "compute_ns_per_ray": COMPUTE_NS_PER_RAY,
+        "ici_gbps_per_link": ICI_GBPS,
+        "comm_compute_ratio": round(
+            (bytes_hop / (ICI_GBPS * 1e9) * 1e9) / COMPUTE_NS_PER_RAY, 4
+        ),
+        "overlap": "ppermute issued async; overlap asserted, not measured "
+                   "on this 1-chip rig",
+    }
     summary = {
         "metric": "rays_scaling_efficiency",
-        "value": results[-1]["scaling_efficiency"] if results else 0.0,
+        "value": (
+            results[-1]["scaling_efficiency"]
+            if results and "scaling_efficiency" in results[-1]
+            else None
+        ),
         "unit": "fraction_of_linear",
         "mode": args.mode, "engine": args.engine,
         "tris": args.tris, "rays": args.rays,
         "platform": jax.default_backend(),
+        "timings_host_bound": jax.default_backend() == "cpu",
         "parity_all": all(r.get("parity", True) for r in results),
+        "ici_model": model,
     }
     print(json.dumps(summary), flush=True)
     if args.out:

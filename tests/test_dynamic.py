@@ -197,3 +197,62 @@ def test_chunked_builder_and_rows_variants_bit_identical():
     )
     hit = st < rt.constants.MAX_FLOAT
     np.testing.assert_allclose(gt[hit], st[hit], rtol=2e-6)
+
+
+def test_chunked_compaction_parity():
+    """Mid-schedule live-ray compaction (VERDICT r3 item 1) must reproduce the
+    uncompacted fold: the tail chunks trace a permuted ray order with a fresh
+    best state seeded from the running t, merged by strict-< and unpermuted at
+    the end — per-ray candidates and fold are unchanged."""
+    mesh = rt.random_triangle_soup(6000, seed=21, bound=12.0, tri_size=0.7)
+    scene = rt.build_scene(mesh)
+    cbvh = rt.build_bvh_chunked(scene, chunk_capacity=1024)
+    assert cbvh.num_chunks == 6
+    o, d = _rays(2048, seed=22, bound=15.0)
+    base = rt.trace_chunked(cbvh, o, d, route=False, compact=None)
+    for comp in ("auto", 0, 2, 4):
+        got = rt.trace_chunked(cbvh, o, d, route=False, compact=comp)
+        np.testing.assert_array_equal(np.asarray(got.t), np.asarray(base.t))
+        np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(base.tri))
+        np.testing.assert_array_equal(np.asarray(got.u), np.asarray(base.u))
+    # Composes with routing, and with the any-hit occlusion threading.
+    rc = rt.trace_chunked(cbvh, o, d, route=True, compact=1)
+    np.testing.assert_array_equal(np.asarray(rc.t), np.asarray(base.t))
+    np.testing.assert_array_equal(np.asarray(rc.tri), np.asarray(base.tri))
+    import jax.numpy as jnp
+
+    thr = jnp.full((o.shape[0],), 10.0, jnp.float32)
+    a0 = rt.trace_chunked(cbvh, o, d, compact=None, anyhit_thresh=thr)
+    a1 = rt.trace_chunked(cbvh, o, d, compact=1, anyhit_thresh=thr)
+    np.testing.assert_array_equal(np.asarray(a0.t), np.asarray(a1.t))
+
+
+def test_animated_renderer_fused_matches_unfused():
+    """make_animated_renderer's single-dispatch frame (deform → refit →
+    table slot-update → trace in ONE jit) matches the unfused
+    deform/refit/render_hits sequence (VERDICT r3 item 2); the plan reuse
+    keeps repacks bit-consistent across frames."""
+    import jax.numpy as jnp
+
+    from unitysimpleraytracing_tpu.pipeline.build import deform_scene, refit_bvh
+
+    mesh = rt.terrain_mesh(res=16, size=16.0, amplitude=3.0, seed=1)
+    scene = rt.build_scene(mesh)
+    bvh = rt.build_bvh(scene, builder="karras")
+    cam = rt.make_camera(eye=(12, 10, 14), target=(0, 0, 0), width=64, height=64)
+    t = scene.triangles
+    base = jnp.stack([t.a, t.b, t.c], axis=1)
+    anim = rt.make_animated_renderer(scene, bvh, cam)
+    for phase in (0.3, 1.1):
+        pos = base.at[..., 1].add(0.4 * jnp.sin(base[..., 0] * 0.5 + phase))
+        got = anim(pos)
+        s2 = deform_scene(scene, pos)
+        b2 = refit_bvh(s2, bvh)
+        ref = rt.render_hits(s2, b2, cam)
+        gt, st = np.asarray(got.t), np.asarray(ref.t)
+        hit = st < rt.constants.MAX_FLOAT
+        np.testing.assert_array_equal(gt < rt.constants.MAX_FLOAT, hit)
+        np.testing.assert_allclose(gt[hit], st[hit], rtol=4e-6)
+        np.testing.assert_array_equal(
+            np.asarray(got.tri)[hit], np.asarray(ref.tri)[hit]
+        )

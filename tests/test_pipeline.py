@@ -154,3 +154,28 @@ def test_capacity_contract_raises_typed_error(monkeypatch):
     tex = rt.solid_texture((1, 1, 1, 1))
     with pytest.raises(dispatch.CapacityError):
         rt.render_frame(scene, bvh, cam, tex, np.zeros(3, np.float32))
+
+
+def test_subdivide_mesh_watertight_and_counts():
+    """Midpoint subdivision: 4x triangles per level, linear uv/normal
+    interpolation, and the displacement field is a pure function of position
+    (shared corners displace identically — no cracks)."""
+    import unitysimpleraytracing_tpu as rt
+
+    base = rt.cube_mesh(size=2.0)
+    s1 = rt.subdivide_mesh(base, levels=1)
+    assert s1.num_triangles == base.num_triangles * 4
+    # Surface area is preserved by pure midpoint splits.
+    def area(m):
+        e1 = m.positions[:, 1] - m.positions[:, 0]
+        e2 = m.positions[:, 2] - m.positions[:, 0]
+        return float(np.linalg.norm(np.cross(e1, e2), axis=1).sum() / 2)
+    np.testing.assert_allclose(area(s1), area(base), rtol=1e-5)
+    # Displaced: corners at the same position move to the same place.
+    sd = rt.subdivide_mesh(base, levels=2, displace=0.1)
+    v = sd.positions.reshape(-1, 3)
+    key = np.round(v, 4)
+    _, inv_idx = np.unique(key, axis=0, return_inverse=True)
+    for g in range(inv_idx.max() + 1):
+        rows = v[inv_idx == g]
+        assert np.allclose(rows, rows[0], atol=1e-5)

@@ -64,3 +64,50 @@ def test_argsort_by_key():
     keys, _ = _random_kv(2048, seed=5)
     perm = np.asarray(sort.argsort_by_key(jnp.asarray(keys)))
     np.testing.assert_array_equal(perm, np.argsort(keys, kind="stable"))
+
+
+@pytest.mark.parametrize("impl", ["radix", "pallas"])
+def test_per_pass_validation_clean(impl):
+    """validate_sort_per_pass drives every digit pass standalone and checks
+    the reference's in-situ per-pass invariants (ComputeBufferSorter.cs:
+    107-125, 193-271) — clean engines pass."""
+    keys, values = _random_kv(4096, seed=7)
+    validate.validate_sort_per_pass(jnp.asarray(keys), jnp.asarray(values), impl=impl)
+
+
+def test_per_pass_validation_catches_corruption():
+    """A corrupted pass is caught by the per-pass checks: a scan off-by-one
+    breaks the recurrence, a swapped key breaks the digit histogram, and an
+    unstable tie order breaks the stable-digit contract."""
+    keys, values = _random_kv(2048, seed=3)
+    k, v = jnp.asarray(keys), jnp.asarray(values)
+    ko, vo, hist_t, scanned = sort.radix_pass_debug(k, v, 0)
+    # Clean pass validates.
+    validate.validate_sort_pass(k, v, ko, vo, hist_t, scanned, 0, 2048)
+    # (a) scan recurrence corruption.
+    bad_scan = np.asarray(scanned).copy()
+    bad_scan[100] += 1
+    with pytest.raises(AssertionError):
+        validate.validate_sort_pass(k, v, ko, vo, hist_t, bad_scan, 0, 2048)
+    # (b) output key corruption (digit histogram diff).
+    bad_keys = np.asarray(ko).copy()
+    bad_keys[5] ^= 0xFF
+    with pytest.raises(AssertionError):
+        validate.check_digit_histogram(np.asarray(k), bad_keys, 0)
+    # (c) engine-histogram corruption vs host recount.
+    bad_hist = np.asarray(hist_t).copy()
+    bad_hist[0] += 1
+    with pytest.raises(AssertionError):
+        validate.check_block_histograms(np.asarray(k), bad_hist, 0, 2048)
+    # (d) stability violation: swap two equal-digit values.
+    d = (keys >> np.uint32(0)) & np.uint32(255)
+    b = np.argsort(d, kind="stable")
+    # find two adjacent outputs with equal digit and swap their values
+    ds = d[b]
+    eq = np.nonzero(ds[1:] == ds[:-1])[0]
+    assert eq.size > 0
+    i = int(eq[0])
+    bad_vals = np.asarray(vo).copy()
+    bad_vals[i], bad_vals[i + 1] = bad_vals[i + 1], bad_vals[i]
+    with pytest.raises(AssertionError):
+        validate.check_pass_stable(np.asarray(k), np.asarray(v), np.asarray(ko), bad_vals, 0)

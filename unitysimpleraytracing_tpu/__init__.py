@@ -15,6 +15,7 @@ from unitysimpleraytracing_tpu.core.mesh import (
     build_scene,
     cube_mesh,
     load_obj,
+    subdivide_mesh,
     random_triangle_soup,
     terrain_mesh,
 )
@@ -37,6 +38,7 @@ from unitysimpleraytracing_tpu.pipeline.chunked import (
 )
 from unitysimpleraytracing_tpu.pipeline.render import (
     frame_to_image,
+    make_animated_renderer,
     render_frame,
     render_frames,
     render_hits,
@@ -64,10 +66,12 @@ __all__ = [
     "cube_mesh",
     "frame_to_image",
     "load_obj",
+    "subdivide_mesh",
     "load_texture",
     "make_camera",
     "random_triangle_soup",
     "terrain_mesh",
+    "make_animated_renderer",
     "render_frame",
     "render_frames",
     "render_hits",

@@ -77,6 +77,17 @@ def main(argv=None) -> None:
     )
     ap.add_argument("--flip-x", action="store_true", help="Unity-style OBJ import")
     ap.add_argument(
+        "--subdivide", type=int, default=0,
+        help="midpoint-subdivide the mesh N times (4x tris per level) — "
+        "turns the reference's real meshes into multi-100K chunked-path "
+        "scenes (core/mesh.subdivide_mesh)",
+    )
+    ap.add_argument(
+        "--displace", type=float, default=0.0,
+        help="with --subdivide: crack-free smooth displacement amplitude "
+        "along normals (a pure function of position)",
+    )
+    ap.add_argument(
         "--builder", default=None, choices=["karras", "sah"],
         help="BVH topology: 'karras' (the reference's radix tree, "
         "BVH.compute:94-149) or 'sah' (sweep SAH over the Morton order — "
@@ -127,6 +138,10 @@ def main(argv=None) -> None:
 
     t0 = time.perf_counter()
     mesh = rt.load_obj(args.obj, flip_x=args.flip_x)
+    if args.subdivide:
+        mesh = rt.subdivide_mesh(
+            mesh, levels=args.subdivide, displace=args.displace
+        )
     print(f"loaded {mesh.num_triangles} triangles in {time.perf_counter()-t0:.2f}s")
 
     scene = rt.build_scene(mesh)

@@ -223,6 +223,58 @@ def terrain_mesh(
     return MeshData(positions=pos.astype(np.float32), uvs=uv.astype(np.float32), normals=nrm)
 
 
+def subdivide_mesh(
+    mesh: MeshData, levels: int = 1, displace: float = 0.0, freq: float = 1.0
+) -> MeshData:
+    """Midpoint (1→4) subdivision, optionally with a smooth displacement —
+    turns the reference's real meshes (3-13K tris, Assets/_Assets/*.obj)
+    into multi-100K-triangle scenes for the chunked/large-scene path while
+    keeping real-mesh topology (unlike the procedural terrain).
+
+    Each level splits every triangle at its edge midpoints (uv/normals
+    interpolated linearly, normals renormalized).  ``displace`` moves every
+    corner along its normal by a smooth trigonometric field of POSITION —
+    a pure function of the coordinate, so corners shared between triangles
+    displace identically and the surface stays crack-free.  Deterministic;
+    no reference counterpart (the reference hard-caps at 524 288 tris,
+    Constants.cs:3-6, and ships 12 800 at most)."""
+    pos = mesh.positions.astype(np.float32)
+    uv = mesh.uvs.astype(np.float32)
+    nrm = mesh.normals.astype(np.float32)
+    for _ in range(levels):
+        def mids(x):
+            a, b, c = x[:, 0], x[:, 1], x[:, 2]
+            ab, bc, ca = (a + b) * 0.5, (b + c) * 0.5, (c + a) * 0.5
+            return np.concatenate([
+                np.stack([a, ab, ca], axis=1),
+                np.stack([ab, b, bc], axis=1),
+                np.stack([ca, bc, c], axis=1),
+                np.stack([ab, bc, ca], axis=1),
+            ])
+
+        pos, uv, nrm = mids(pos), mids(uv), mids(nrm)
+        nrm = nrm / np.maximum(
+            np.linalg.norm(nrm, axis=2, keepdims=True), 1e-20
+        )
+    if displace:
+        # Extent-relative frequency; same field at a given coordinate no
+        # matter which triangle evaluates it.
+        ext = float(np.max(np.abs(pos))) or 1.0
+        k = 2.0 * np.pi * freq / ext
+        field = (
+            np.sin(k * 3.1 * pos[..., 0] + 0.7)
+            * np.cos(k * 2.3 * pos[..., 1] + 1.9)
+            + 0.5 * np.sin(k * 5.7 * pos[..., 2] + 4.2)
+            * np.cos(k * 4.1 * pos[..., 0] + 2.6)
+        )
+        pos = pos + nrm * (displace * field)[..., None]
+    return MeshData(
+        positions=np.ascontiguousarray(pos, np.float32),
+        uvs=np.ascontiguousarray(uv, np.float32),
+        normals=np.ascontiguousarray(nrm, np.float32),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("count",))
 def _derive_scene_arrays(pos, count, scene_min, scene_max):
     """Device-side: per-triangle inflated AABB + centroid + Morton code.

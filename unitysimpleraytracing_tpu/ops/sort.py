@@ -57,7 +57,7 @@ def _digit(keys: jnp.ndarray, shift: int) -> jnp.ndarray:
     )
 
 
-def _rank_pass(keys: jnp.ndarray, shift: int, block: int) -> jnp.ndarray:
+def _rank_pass(keys: jnp.ndarray, shift: int, block: int):
     """Global stable rank of every element for one digit pass.
 
     Mirrors the reference's decomposition (SURVEY §3.3): per-block bucket
@@ -89,7 +89,10 @@ def _rank_pass(keys: jnp.ndarray, shift: int, block: int) -> jnp.ndarray:
 
     block_ids = jnp.arange(nblocks, dtype=jnp.int32)[:, None]
     base = bases[d, block_ids]  # (nblocks, block) gather
-    return (base + local_rank).reshape(n)
+    # hist_t / bases returned for the per-pass validators (the reference
+    # checks its sizesData + scan recurrence in situ per digit pass,
+    # ComputeBufferSorter.cs:226-271).
+    return (base + local_rank).reshape(n), hist_t, bases.reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
@@ -101,7 +104,7 @@ def radix_sort_key_val(
     block = min(block, n)
     idx = jnp.arange(n, dtype=jnp.int32)
     for p in range(C.NUM_PASSES):
-        rank = _rank_pass(keys, p * C.RADIX_BITS, block)
+        rank, _, _ = _rank_pass(keys, p * C.RADIX_BITS, block)
         # rank is a permutation: dst[i] = rank[i]. Realize the pass with a
         # gather by the inverse permutation (scatter-free on TPU):
         # inv[rank[i]] = i via one scatter-of-iota, then take.
@@ -109,6 +112,30 @@ def radix_sort_key_val(
         keys = jnp.take(keys, inv, axis=0)
         values = jnp.take(values, inv, axis=0)
     return keys, values
+
+
+@functools.partial(jax.jit, static_argnames=("shift", "block"))
+def radix_pass_debug(
+    keys: jnp.ndarray, values: jnp.ndarray, shift: int,
+    block: int = C.SORT_BLOCK,
+):
+    """ONE digit pass of the radix engine with its intermediates exposed:
+    ``(keys_out, values_out, hist_t, scanned)`` where ``hist_t`` is the
+    bucket-major flattened per-block histogram (the reference's transposed
+    ``sizesData``, LocalRadixSort.compute:132) and ``scanned`` its exclusive
+    scan (the ``scannedSizes`` the reference validates per pass,
+    ComputeBufferSorter.cs:256-271).  Consumed by
+    utils/validate.validate_sort_pass."""
+    n = keys.shape[0]
+    block = min(block, n)
+    rank, hist_t, scanned = _rank_pass(keys, shift, block)
+    inv = jnp.zeros(n, jnp.int32).at[rank].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+    return (
+        jnp.take(keys, inv, axis=0), jnp.take(values, inv, axis=0),
+        hist_t, scanned,
+    )
 
 
 def argsort_by_key(keys: jnp.ndarray, impl: str = "xla") -> jnp.ndarray:

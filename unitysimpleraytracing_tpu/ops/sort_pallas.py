@@ -121,7 +121,7 @@ def _pass_fns(nblocks: int, shift: int, interpret: bool):
 
 def _sort_pass(
     keys, values, shift: int, nblocks: int, interpret: bool,
-    realize: str = "gather_iota",
+    realize: str = "gather_iota", debug: bool = False,
 ):
     n = keys.shape[0]
     hist_call, rank_call = _pass_fns(nblocks, shift, interpret)
@@ -133,6 +133,19 @@ def _sort_pass(
         hist.T.reshape(-1), interpret=interpret
     ).reshape(_NB, nblocks)
     dst = rank_call(kb, bases_bm.T.reshape(nblocks, 1, _NB)).reshape(n)
+    if debug:
+        # Per-pass intermediates for utils/validate.validate_sort_pass: the
+        # kernel's own histogram (sizesData analog) bucket-major-flattened
+        # and its exclusive scan — exactly what the reference validates in
+        # situ each digit pass (ComputeBufferSorter.cs:226-271).
+        inv = jnp.zeros((n,), jnp.int32).at[dst].set(
+            jnp.arange(n, dtype=jnp.int32), unique_indices=True, mode="drop"
+        )
+        return (
+            jnp.take(keys, inv, axis=0), jnp.take(values, inv, axis=0),
+            hist.T.reshape(-1).astype(jnp.int32),
+            bases_bm.reshape(-1).astype(jnp.int32),
+        )
     if realize == "pair_scatter":
         # ONE fused (key, value) pair scatter — 3x less bulk data movement
         # than gather_iota below IF a 2-column row scatter priced like a
@@ -191,3 +204,15 @@ def radix_sort_key_val_pallas(
     if pad:
         keys, values = keys[:n], values[:n]
     return keys, values
+
+
+def pallas_pass_debug(keys, values, shift: int, interpret: bool | None = None):
+    """ONE Pallas digit pass with intermediates: ``(keys_out, values_out,
+    hist_t, scanned)`` in the same form as ops/sort.radix_pass_debug (keys
+    must be a BLOCK multiple — pad with KEY_PADDING first like
+    radix_sort_key_val_pallas does)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = keys.shape[0]
+    assert n % BLOCK == 0, f"{n} not a multiple of {BLOCK}"
+    return _sort_pass(keys, values, shift, n // BLOCK, interpret, debug=True)

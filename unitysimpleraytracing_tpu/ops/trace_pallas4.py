@@ -65,6 +65,7 @@ from unitysimpleraytracing_tpu.ops.trace_pallas import (
 )
 
 _SLOTS4 = 64
+_SLOTS4C = 52  # compressed record: 12 bf16-pair box slots + 4 metas + 36 verts
 # A record is 512 B at pack=1 (64 slots padded to 128 lanes) / 256 B dense at
 # pack=2; records ≈ n/3 for balanced trees → auto thresholds on TRIANGLES:
 FLAT4_MAX_CAPACITY = 280_000    # pack=1 static-lane fetch
@@ -75,11 +76,14 @@ def auto_pack4(capacity: int) -> int:
     return 1 if capacity <= FLAT4_MAX_CAPACITY else 2
 
 
-# id(bvh.left) -> (weakref(left), mask, new_id).  Keyed by the TOPOLOGY
-# array's identity, not the Bvh object's: refit_bvh replaces only the box
-# fields (flax .replace keeps the child-link array references), so a
+# id(bvh.left) -> (weakref(left), mask, new_id, count, plans).  Keyed by the
+# TOPOLOGY array's identity, not the Bvh object's: refit_bvh replaces only the
+# box fields (flax .replace keeps the child-link array references), so a
 # refit-per-frame dynamic loop reuses the even-depth membership — the
-# pointer-doubling depth pass is the expensive part of repacking.
+# pointer-doubling depth pass is the expensive part of repacking.  ``plans``
+# maps cap4 -> the (src_idx, metas) pack plan: everything topology-dependent
+# about the record table, so a deform/refit frame repays only the geometry
+# gathers (_apply_plan4), not the entry derivation + 64-column compaction.
 _TOPO_CACHE: dict = {}
 
 
@@ -127,18 +131,144 @@ def _node_mask_cached(bvh: Bvh):
     count = int(jnp.sum(mask))
     try:
         ref = weakref.ref(bvh.left, lambda _r, _k=key: _TOPO_CACHE.pop(_k, None))
-        _TOPO_CACHE[key] = (ref, mask, new_id, count)
+        _TOPO_CACHE[key] = (ref, mask, new_id, count, {})
     except TypeError:
         pass
     return mask, new_id, count
 
 
-@functools.partial(jax.jit, static_argnames=("pack", "cap4"))
+@functools.partial(jax.jit, static_argnames=("cap4",))
+def _pack_plan4(bvh: Bvh, mask, new_id, cap4: int):
+    """Topology-only half of the table pack: per-record-row entry SOURCE
+    indices into the unified geometry source array (_apply_plan4's ``S``)
+    plus the constant meta columns.
+
+    A deforming mesh changes boxes and vertices but not the tree (refit_bvh
+    keeps the child links), so this plan — the entry derivation, the
+    even-depth compaction and the meta packing — is computed once per
+    topology and cached (_TOPO_CACHE); the per-frame repack replays only
+    the geometry gathers."""
+    cap = bvh.capacity
+
+    Lc = jnp.clip(bvh.left, 0, cap - 1)
+    Rc = jnp.clip(bvh.right, 0, cap - 1)
+    Ll, Rl = bvh.left_is_leaf, bvh.right_is_leaf
+
+    def grand(c):
+        """BVH2 children of node c (as entry candidates)."""
+        gl = jnp.clip(bvh.left[c], 0, cap - 1)
+        gr = jnp.clip(bvh.right[c], 0, cap - 1)
+        return gl, bvh.left_is_leaf[c], gr, bvh.right_is_leaf[c]
+
+    LL, LLl, LR, LRl = grand(Lc)
+    RL, RLl, RR, RRl = grand(Rc)
+
+    def entry(node2, is_leaf, present):
+        """Source row + meta fields for one entry: leaf entries read row
+        cap+tri (triangle geometry), internal entries read row node2 (node
+        boxes), absent entries read the inert EMPTY row 2·cap."""
+        tri = bvh.sorted_tri[node2]
+        src = jnp.where(is_leaf, cap + tri, node2)
+        src = jnp.where(present, src, 2 * cap)
+        idx = jnp.where(is_leaf, tri, new_id[node2])
+        idx = jnp.where(present, idx, 0)
+        leaf_bit = jnp.where(present, is_leaf.astype(jnp.int32), 1)
+        return src, idx, leaf_bit
+
+    true_ = jnp.ones((cap,), bool)
+    e0 = entry(jnp.where(Ll, Lc, LL), jnp.where(Ll, True, LLl), true_)
+    e1 = entry(LR, LRl, ~Ll)
+    e2 = entry(jnp.where(Rl, Rc, RL), jnp.where(Rl, True, RLl), true_)
+    e3 = entry(RR, RRl, ~Rl)
+
+    # Near-child ordering axes: record's own split axis + each pair's axis.
+    ax_self = jnp.clip(bvh.split_axis, 0, 2)
+    ax_l = jnp.where(Ll, 0, jnp.clip(bvh.split_axis[Lc], 0, 2))
+    ax_r = jnp.where(Rl, 0, jnp.clip(bvh.split_axis[Rc], 0, 2))
+    axes = (ax_self, ax_l, ax_r, jnp.zeros((cap,), jnp.int32))
+
+    srcs = jnp.stack([e[0] for e in (e0, e1, e2, e3)], axis=1)  # (cap, 4)
+    metas = jnp.stack(
+        [
+            (e[1] + (e[2] << 21) + (ax << 22)).astype(jnp.float32)
+            for e, ax in zip((e0, e1, e2, e3), axes)
+        ],
+        axis=1,
+    )  # (cap, 4)
+
+    # Compact mask rows to their new ids (record-table row r reads BVH2 node
+    # rows[r]); padding rows replicate node 0's entries — never referenced.
+    ids = jnp.arange(cap, dtype=jnp.int32)
+    rows = jnp.zeros((cap4,), jnp.int32).at[
+        jnp.where(mask, new_id, cap4)
+    ].set(ids, mode="drop")
+    return srcs[rows], metas[rows]  # (cap4, 4) each
+
+
+@functools.partial(jax.jit, static_argnames=("pack",))
+def _apply_plan4(scene: Scene, bvh: Bvh, src_idx, metas, pack: int):
+    """Geometry-only half of the table pack: build the unified source array
+    and gather each entry's 15 slots (6 box + 9 pre-differenced verts) by the
+    plan's source rows — 4 row gathers of ≤16 columns (the measured-fast
+    gather form on v5e) instead of the full entry derivation + 64-column
+    compaction.  Bit-identical to the one-shot pack (same values flow through
+    the same f32 ops; selection by gather instead of jnp.where)."""
+    cap = bvh.capacity
+    cap4 = src_idx.shape[0]
+    t = scene.triangles
+    BIG = jnp.float32(3.0e38)
+    zeros9 = jnp.zeros((cap, 9), jnp.float32)
+    # Rows [0, cap): internal BVH2 nodes (boxes; verts inert zeros).
+    # Rows [cap, 2cap): triangles (leaf box + (a, e1=b−a, e2=c−a) — the
+    # pre-differenced Möller–Trumbore form, computed elementwise here so a
+    # deform frame repays only this elementwise pass + the gathers).
+    # Row 2cap: the inert EMPTY entry (inverted box, zero verts).
+    S = jnp.concatenate(
+        [
+            jnp.concatenate([bvh.node_aabb_min, bvh.node_aabb_max, zeros9], axis=1),
+            jnp.concatenate(
+                [scene.aabb_min, scene.aabb_max, t.a, t.b - t.a, t.c - t.a], axis=1
+            ),
+            jnp.concatenate(
+                [jnp.full((1, 3), BIG), jnp.full((1, 3), -BIG),
+                 jnp.zeros((1, 9), jnp.float32)],
+                axis=1,
+            ),
+        ],
+        axis=0,
+    )  # (2·cap + 1, 15)
+
+    # Cull-margin widening for scene extents beyond the tested ~8e3 bound —
+    # identical policy to trace_pallas.pack_tables.
+    root = jnp.maximum(
+        jnp.max(jnp.abs(bvh.node_aabb_min[0])), jnp.max(jnp.abs(bvh.node_aabb_max[0]))
+    )
+    widen = jnp.maximum(root - 8192.0, 0.0) * 4e-6
+
+    g = [S[src_idx[:, e]] for e in range(4)]  # 4 × (cap4, 15)
+    table = jnp.concatenate(
+        [jnp.concatenate([ge[:, 0:3] - widen, ge[:, 3:6] + widen], axis=1)
+         for ge in g]
+        + [metas]
+        + [ge[:, 6:15] for ge in g],
+        axis=1,
+    )  # (cap4, 64): boxes 0-23, metas 24-27, verts 28-63
+    if pack == 1:
+        return table
+    return table.reshape(cap4 // pack, pack * _SLOTS4)
+
+
 def pack_tables4(
     scene: Scene, bvh: Bvh, pack: int = 1, cap4: int | None = None,
     mask=None, new_id=None,
 ):
     """Flatten scene+BVH into the 4-child record table (see module doc).
+
+    Two-stage: a topology-only PLAN (_pack_plan4 — entry sources + metas,
+    cached per topology) applied to the current geometry (_apply_plan4 —
+    4 grouped gathers).  A refit-per-frame animation loop therefore repays
+    only the apply stage: the reference rebuilds everything each Awake
+    (RaytracingMeshDrawer.cs:30-74) and has no animated path at all.
 
     ``cap4`` is the static record count (host-computed actual even-depth node
     count, padded; defaults to the worst-case (2·cap+1)/3 bound).
@@ -154,95 +284,62 @@ def pack_tables4(
 
     if mask is None:
         mask, new_id = bvh4_node_mask(bvh)
-    ids = jnp.arange(cap, dtype=jnp.int32)
+    plan = None
+    if not isinstance(jnp.asarray(bvh.left), jax.core.Tracer):
+        ent = _TOPO_CACHE.get(id(bvh.left))
+        if ent is not None and ent[0]() is bvh.left:
+            plan = ent[4].get(cap4)
+            if plan is None:
+                plan = _pack_plan4(bvh, mask, new_id, cap4)
+                ent[4][cap4] = plan
+    if plan is None:
+        plan = _pack_plan4(bvh, mask, new_id, cap4)
+    return _apply_plan4(scene, bvh, *plan, pack)
 
-    Lc = jnp.clip(bvh.left, 0, cap - 1)
-    Rc = jnp.clip(bvh.right, 0, cap - 1)
-    Ll, Rl = bvh.left_is_leaf, bvh.right_is_leaf
 
-    def grand(c):
-        """BVH2 children of node c (as entry candidates)."""
-        gl = jnp.clip(bvh.left[c], 0, cap - 1)
-        gr = jnp.clip(bvh.right[c], 0, cap - 1)
-        return gl, bvh.left_is_leaf[c], gr, bvh.right_is_leaf[c]
+@jax.jit
+def compress_tables4(table: jnp.ndarray) -> jnp.ndarray:
+    """(cap4, 64) record table → (cap4, 52) COMPRESSED table: each entry's
+    six box floats become three f32 slots, each packing (min, max) of one
+    axis as a bf16 pair (min in the high 16 bits, max in the low).
 
-    LL, LLl, LR, LRl = grand(Lc)
-    RL, RLl, RR, RRl = grand(Rc)
+    Rounding is DIRECTED so the stored box always CONTAINS the f32 box
+    (min rounded down, max rounded up): a conservatively widened box can
+    only admit extra slab passes, which the strict-< Möller–Trumbore fold
+    rejects — the same argument as the >8e3-extent cull-margin widening
+    (pack_tables4).  The one semantic edge: a triangle entirely BEHIND the
+    ray origin whose true box has tmax within the ~0.4% bf16 rounding of 0
+    can now reach the (t>0-free) triangle test — the reference would have
+    culled it at the box stage (Raytracing.compute:86).  Parity is asserted
+    on-device by benchmarks/bvh4_ab.py --compress.
 
-    t = scene.triangles
-    BIG = jnp.float32(3.0e38)
+    Layout: slots 0-11 packed boxes (entry-major, axes x/y/z), 12-15 metas,
+    16-51 verts — 52 fetches per record instead of 64 on the fetch-bound
+    flat path (VERDICT r3 item 4's experiment)."""
+    cap4 = table.shape[0]
+    assert table.shape[1] == _SLOTS4, table.shape
 
-    def entry(node2, is_leaf, present):
-        """One record entry from BVH2 node ``node2`` (leaf or even-depth
-        internal); ``present=False`` → inert EMPTY entry."""
-        tri = bvh.sorted_tri[node2]
-        idx = jnp.where(is_leaf, tri, new_id[node2])
-        bmin = jnp.where(
-            is_leaf[:, None], scene.aabb_min[tri], bvh.node_aabb_min[node2]
-        )
-        bmax = jnp.where(
-            is_leaf[:, None], scene.aabb_max[tri], bvh.node_aabb_max[node2]
-        )
-        p = present[:, None]
-        bmin = jnp.where(p, bmin, BIG)
-        bmax = jnp.where(p, bmax, -BIG)
-        leaf_bit = jnp.where(present, is_leaf.astype(jnp.int32), 1)
-        idx = jnp.where(present, idx, 0)
-        m = (present & is_leaf)[:, None]
-        va = jnp.where(m, t.a[tri], 0.0)
-        # Pre-differenced Möller–Trumbore edges (e1, e2): the same f32
-        # subtraction the kernel used to do per step, done once here —
-        # bit-identical t, 6 fewer vector ops per entry per visit.
-        vb = jnp.where(m, t.b[tri] - t.a[tri], 0.0)
-        vc = jnp.where(m, t.c[tri] - t.a[tri], 0.0)
-        return bmin, bmax, idx, leaf_bit, va, vb, vc
+    def down(v):  # largest bf16 ≤ v
+        b = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        trunc = b & jnp.uint32(0xFFFF0000)
+        bump = (v < 0) & ((b & jnp.uint32(0xFFFF)) != 0)
+        return trunc + jnp.where(bump, jnp.uint32(1 << 16), jnp.uint32(0))
 
-    true_ = jnp.ones((cap,), bool)
-    e0 = entry(jnp.where(Ll, Lc, LL), jnp.where(Ll, True, LLl), true_)
-    e1 = entry(LR, LRl, ~Ll)
-    e2 = entry(jnp.where(Rl, Rc, RL), jnp.where(Rl, True, RLl), true_)
-    e3 = entry(RR, RRl, ~Rl)
+    def up(v):  # smallest bf16 ≥ v
+        b = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        trunc = b & jnp.uint32(0xFFFF0000)
+        bump = (v > 0) & ((b & jnp.uint32(0xFFFF)) != 0)
+        return trunc + jnp.where(bump, jnp.uint32(1 << 16), jnp.uint32(0))
 
-    # Near-child ordering axes: record's own split axis + each pair's axis.
-    ax_self = jnp.clip(bvh.split_axis, 0, 2)
-    ax_l = jnp.where(Ll, 0, jnp.clip(bvh.split_axis[Lc], 0, 2))
-    ax_r = jnp.where(Rl, 0, jnp.clip(bvh.split_axis[Rc], 0, 2))
-    axes = (ax_self, ax_l, ax_r, jnp.zeros((cap,), jnp.int32))
-
-    metas = [
-        (e[2] + (e[3] << 21) + (ax << 22)).astype(jnp.float32)[:, None]
-        for e, ax in zip((e0, e1, e2, e3), axes)
-    ]
-
-    # Cull-margin widening for scene extents beyond the tested ~8e3 bound —
-    # identical policy to trace_pallas.pack_tables.
-    root = jnp.maximum(
-        jnp.max(jnp.abs(bvh.node_aabb_min[0])), jnp.max(jnp.abs(bvh.node_aabb_max[0]))
-    )
-    widen = jnp.maximum(root - 8192.0, 0.0) * 4e-6
-
-    records = jnp.concatenate(
-        [e0[0] - widen, e0[1] + widen,
-         e1[0] - widen, e1[1] + widen,
-         e2[0] - widen, e2[1] + widen,
-         e3[0] - widen, e3[1] + widen]
-        + metas
-        + [e0[4], e0[5], e0[6], e1[4], e1[5], e1[6],
-           e2[4], e2[5], e2[6], e3[4], e3[5], e3[6]],
-        axis=1,
-    )  # (cap, 64): boxes 0-23, metas 24-27, verts 28-63
-
-    # Compact mask rows to their new ids; gather in 8-column groups (wide
-    # row gathers degrade ~100x at ~30 columns on v5e).
-    src = jnp.zeros((cap4,), jnp.int32).at[
-        jnp.where(mask, new_id, cap4)
-    ].set(ids, mode="drop")
-    table = jnp.concatenate(
-        [records[:, c:c + 8][src] for c in range(0, _SLOTS4, 8)], axis=1
-    )
-    if pack == 1:
-        return table
-    return table.reshape(cap4 // pack, pack * _SLOTS4)
+    boxes = []
+    for e in range(4):
+        bmin, bmax = table[:, 6 * e:6 * e + 3], table[:, 6 * e + 3:6 * e + 6]
+        lo16 = down(bmin)                       # bf16 pattern in high bits
+        hi16 = up(bmax) >> jnp.uint32(16)       # bf16 pattern to low bits
+        boxes.append(
+            jax.lax.bitcast_convert_type(lo16 | hi16, jnp.float32)
+        )  # (cap4, 3): x, y, z packed (min, max) pairs
+    return jnp.concatenate(boxes + [table[:, 24:]], axis=1)  # (cap4, 52)
 
 
 def _fetch4(tab, k, lo, hi, pack):
@@ -261,8 +358,28 @@ def _fetch4(tab, k, lo, hi, pack):
     return jax.lax.switch(k % 2, [make(0), make(1)], None)
 
 
-def _make_kernel4(pack, count_steps=False, popn=2, rows=_SUB):
+def _make_kernel4(pack, count_steps=False, popn=2, rows=_SUB, compress=False):
     assert popn in (1, 2, 4, 8, 16)
+    assert not (compress and pack != 1), "compressed records are pack=1 only"
+    # Slot layout: plain (24 box | 4 meta | 36 vert) vs compressed
+    # (12 bf16-pair box | 4 meta | 36 vert) — see compress_tables4.
+    meta_base = 12 if compress else 24
+    vert_base = meta_base + 4
+    total = _SLOTS4C if compress else _SLOTS4
+
+    def unpack2(v):
+        """One f32 slot → (min, max) bf16 pair (min high bits, max low).
+
+        Decoded through VECTOR ops: Mosaic's ``tpu.bitcast`` is vector-only
+        (a scalar bitcast fails verification), so the scalar slot is
+        broadcast to the packet tile first — ~6 vector ops per packed slot,
+        which the fetch-floor model prices ABOVE the 3 scalar fetches it
+        replaces; measured by benchmarks/bvh4_ab.py --compress."""
+        vec = jnp.full((rows, _LANE), v, jnp.float32)
+        iv = pltpu.bitcast(vec, jnp.uint32)
+        mn = pltpu.bitcast(iv & jnp.uint32(0xFFFF0000), jnp.float32)
+        mx = pltpu.bitcast(iv << 16, jnp.float32)
+        return mn, mx
 
     def _kernel(nodes, rays, out, *rest):
         if count_steps:
@@ -362,9 +479,17 @@ def _make_kernel4(pack, count_steps=False, popn=2, rows=_SUB):
             split = pack == 1
             recs, masks = [], []
             for i in range(popn):
-                rec = _fetch4(nodes, ks[i], 0, 28 if split else 64, pack)
+                rec = _fetch4(
+                    nodes, ks[i], 0, (meta_base + 4) if split else total, pack
+                )
                 for e in range(4):
-                    m = slab(*rec[6 * e:6 * e + 6], t)
+                    if compress:
+                        mnx, mxx = unpack2(rec[3 * e + 0])
+                        mny, mxy = unpack2(rec[3 * e + 1])
+                        mnz, mxz = unpack2(rec[3 * e + 2])
+                        m = slab(mnx, mny, mnz, mxx, mxy, mxz, t)
+                    else:
+                        m = slab(*rec[6 * e:6 * e + 6], t)
                     masks.append(m & alives[i])
                 recs.append(rec)
 
@@ -390,7 +515,7 @@ def _make_kernel4(pack, count_steps=False, popn=2, rows=_SUB):
             # Decode metas + leaf tests in place.
             metas = []
             for i in range(popn):
-                mt = [recs[i][24 + e].astype(jnp.int32) for e in range(4)]
+                mt = [recs[i][meta_base + e].astype(jnp.int32) for e in range(4)]
                 idxs = [m & ((1 << 21) - 1) for m in mt]
                 leafs = [((m >> 21) & 1) == 1 for m in mt]
                 ax_self = mt[0] >> 22
@@ -400,7 +525,9 @@ def _make_kernel4(pack, count_steps=False, popn=2, rows=_SUB):
 
             for i in range(popn):
                 verts = (
-                    _fetch4(nodes, ks[i], 28, 64, pack) if split else recs[i][28:64]
+                    _fetch4(nodes, ks[i], vert_base, total, pack)
+                    if split
+                    else recs[i][vert_base:total]
                 )
                 idxs, leafs, _, _, _ = metas[i]
                 for e in range(4):
@@ -468,9 +595,11 @@ def _make_kernel4(pack, count_steps=False, popn=2, rows=_SUB):
 def _traversal_fn4(
     T: int, cap4: int, pack: int, interpret: bool,
     count_steps: bool = False, popn: int = 2, rows: int = _SUB,
+    compress: bool = False,
 ):
     packet = rows * _LANE
-    tab_shape = (cap4, _SLOTS4) if pack == 1 else (cap4 // 2, 2 * _SLOTS4)
+    slots = _SLOTS4C if compress else _SLOTS4
+    tab_shape = (cap4, slots) if pack == 1 else (cap4 // 2, 2 * slots)
     out_shape = [jax.ShapeDtypeStruct((T, 4, packet), jnp.float32)]
     out_specs = [
         pl.BlockSpec((1, 4, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -481,7 +610,7 @@ def _traversal_fn4(
             pl.BlockSpec((T, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
         )
     call = pl.pallas_call(
-        _make_kernel4(pack, count_steps, popn, rows),
+        _make_kernel4(pack, count_steps, popn, rows, compress),
         grid=(T,),
         in_specs=[
             pl.BlockSpec(tab_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -532,8 +661,8 @@ _TABLE4_CACHE: dict = {}
 
 def table_geometry(tables) -> tuple[int, int]:
     """(cap4, pack) recovered from a packed table's static shape
-    (pack=1 → (cap4, 64); pack=2 → (cap4/2, 128))."""
-    if tables.shape[1] == _SLOTS4:
+    (pack=1 → (cap4, 64) or compressed (cap4, 52); pack=2 → (cap4/2, 128))."""
+    if tables.shape[1] in (_SLOTS4, _SLOTS4C):
         return tables.shape[0], 1
     assert tables.shape[1] == 2 * _SLOTS4, tables.shape
     return 2 * tables.shape[0], 2
@@ -619,12 +748,15 @@ def traverse_packets_pallas4(
         # deep multi-pop like the BVH2 layouts did — keep it shallow.
         popn = {1: 8, 2: 2}[pack]
 
+    compress = tables.shape[-1] in (_SLOTS4C,)
     max_packets = max(1, MAX_PACKETS_PER_CALL * _SUB // rows)
     outs = []
     steps_acc = []
     for lo in range(0, T, max_packets):
         Tseg = min(max_packets, T - lo)
-        run = _traversal_fn4(Tseg, cap4, pack, interpret, count_steps, popn, rows)
+        run = _traversal_fn4(
+            Tseg, cap4, pack, interpret, count_steps, popn, rows, compress
+        )
         sl = slice(lo * packet, (lo + Tseg) * packet)
         res = run(
             tables, origins[sl], dirs[sl],

@@ -99,6 +99,21 @@ def build_bvh(
     V.check_unique_strictly_increasing(
         unique.distribute_keys(keys_sorted, count), count
     )
+    # Per-digit-pass validation of the decomposed engines — the reference
+    # validates after EVERY pass inside the running pipeline
+    # (ComputeBufferSorter.cs:107-125): scan recurrence, per-block histogram
+    # recount, digit-histogram permutation, stable-digit contract.  The
+    # production "xla" engine is a fused lax.sort with no pass observables;
+    # the radix decomposition is validated on the scene's actual keys, and
+    # the Pallas kernel path too (capped on CPU, where it runs in the
+    # interpreter).
+    V.validate_sort_per_pass(scene.morton, scene.tri_index, impl="radix")
+    n_pallas = count if jax.default_backend() == "tpu" else min(count, 16384)
+    V.validate_sort_per_pass(
+        jnp.asarray(scene.morton)[:n_pallas],
+        jnp.asarray(scene.tri_index)[:n_pallas],
+        impl="pallas",
+    )
     # Tree topology + refit coverage (the "CORRUPTED" scans).
     V.check_topology(bvh)
     V.check_depths(bvh)

@@ -202,7 +202,7 @@ def _chunk_bvh(bvhs: Bvh, s: int, cap: int) -> Bvh:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("impl", "route", "rows"))
+@functools.partial(jax.jit, static_argnames=("impl", "route", "rows", "compact"))
 def trace_chunked(
     cbvh: ChunkedBvh,
     origins: jnp.ndarray,
@@ -211,6 +211,7 @@ def trace_chunked(
     route: bool = True,
     anyhit_thresh: jnp.ndarray | None = None,
     rows: int | None = None,
+    compact: int | None | str = "auto",
 ) -> HitRecord:
     """Nearest hit over all chunks; ``tri`` is the ORIGINAL scene triangle id.
 
@@ -232,6 +233,27 @@ def trace_chunked(
     + two bulk gathers total (NOT per chunk); results are unpermuted at the
     end — bit-identical to ``route=False`` (same fold, same per-ray
     candidates, order of the fold unchanged).
+
+    ``compact`` = the one schedule position after which LIVE rays are
+    re-packed to the front (stable partition by "some remaining chunk's raw
+    root-slab tmin is still < this ray's best t" — any winning hit in chunk
+    c has t ≥ tmin_c, so the gate is exact; raw tmin, NOT clamped to 0,
+    because the reference's Möller–Trumbore accepts negative t).  The
+    round-3 breakdown showed far chunks with 2-24% live rays still cost
+    2-7 ms each: the sparse survivors smear over 18-28 packets whose union
+    DFS runs deep.  After the compaction the survivors occupy few DENSE
+    packets and every all-dead packet exits at the root step.  Overhead is
+    kept to two stable sorts + two grouped row gathers (~6 ms at 262K rays
+    on v5e): rays + t_init gather in, the tail chunks fold into a FRESH
+    best state seeded with the permuted t_init (so the head state is never
+    permuted), and the tail state is unpermuted once and merged by
+    strict-< at the end.  Hit t/u/v/tri match ``compact=None`` except that
+    re-packeting changes packet composition, and with it the packet
+    direction votes and union traversal order — EXACT-t ties across
+    triangles may resolve differently (the same bounded tie class as the
+    distributed combines; `t` itself is order-independent).
+    ``"auto"`` → one compaction a third of the way through the schedule
+    (measured A/Bs: benchmarks/chunked_bench.py).
     """
     S, cap = cbvh.num_chunks, cbvh.capacity
     R = origins.shape[0]
@@ -241,6 +263,10 @@ def trace_chunked(
         # layout and the BVH4 pack=2 layout are both 128-wide — the chunked
         # builder only ever emits BVH4 at pack=1, so the shapes disambiguate).
         impl = "pallas4" if cbvh.tables.shape[-1] == 64 else "pallas"
+    if compact == "auto":
+        compact = max(S // 3, 1) if S >= 4 else None
+    if compact is not None and not (0 <= compact < S - 1):
+        compact = None
     # Distance from the representative origin to each chunk's root box
     # (camera rays share one origin; for mixed batches the mean is only a
     # scheduling heuristic — results are exact for any order).
@@ -250,16 +276,21 @@ def trace_chunked(
     closest = jnp.clip(eye, roots_min, roots_max)
     perm = jnp.argsort(jnp.sum((closest - eye) ** 2, axis=1))
 
-    ray_perm = None
-    if route and S > 1:
-        # Nearest-overlapped-chunk id per ray ((R,S) slab, entry distance);
-        # rays overlapping no chunk get id S and pack into all-dead packets.
+    gate = None
+    if (route or compact is not None) and S > 1:
+        # Root-slab distances per (ray, chunk); inf where no overlap.
         inv = 1.0 / dirs
         t1 = (roots_min[None, :, :] - origins[:, None, :]) * inv[:, None, :]
         t2 = (roots_max[None, :, :] - origins[:, None, :]) * inv[:, None, :]
         tmin = jnp.max(jnp.minimum(t1, t2), axis=2)
         tmax = jnp.min(jnp.maximum(t1, t2), axis=2)
         ov = (tmax > tmin) & (tmax > 0)
+        gate = jnp.where(ov, tmin, jnp.inf)  # raw tmin: exact liveness bound
+
+    ray_perm = None
+    if route and S > 1:
+        # Nearest-overlapped-chunk id per ray; rays overlapping no chunk get
+        # id S and pack into all-dead packets.
         entry = jnp.where(ov, jnp.maximum(tmin, 0.0), jnp.inf)
         nearest = jnp.where(
             jnp.any(ov, axis=1), jnp.argmin(entry, axis=1), jnp.int32(S)
@@ -268,10 +299,22 @@ def trace_chunked(
         _, ray_perm = jax.lax.sort_key_val(
             nearest, jnp.arange(R, dtype=jnp.int32), is_stable=True
         )
-        od = jnp.concatenate([origins, dirs], axis=1)[ray_perm]  # ONE gather
-        origins, dirs = od[:, 0:3], od[:, 3:6]
+        odg = jnp.concatenate([origins, dirs], axis=1)
+        if compact is not None:
+            odg = jnp.concatenate([odg, gate], axis=1)
+        odg = jnp.concatenate(
+            [odg[:, c:c + 8][ray_perm] for c in range(0, odg.shape[1], 8)],
+            axis=1,
+        )
+        origins, dirs = odg[:, 0:3], odg[:, 3:6]
+        if compact is not None:
+            gate = odg[:, 6:6 + S]
         if anyhit_thresh is not None:
             anyhit_thresh = anyhit_thresh[ray_perm]
+    if compact is not None:
+        # Gate columns in schedule order (position s's remaining chunks are
+        # columns s+1..S).
+        gate = jnp.take(gate, perm, axis=1)
 
     best_t = jnp.full((R,), C.MAX_FLOAT, jnp.float32)
     best_tri = jnp.zeros((R,), jnp.int32)   # LOCAL tri id within its chunk
@@ -305,19 +348,70 @@ def trace_chunked(
         best_chunk = jnp.where(win, idx, best_chunk)
         best_u = jnp.where(win, h.u, best_u)
         best_v = jnp.where(win, h.v, best_v)
+        if s == compact:
+            # Stable partition: rays some remaining chunk can still improve
+            # (raw tmin strictly below the running best — the only way to
+            # win the strict-< fold) move to the front, dead rays to the
+            # tail.  ONE 7-column gather moves rays + t_init; the tail
+            # chunks fold into a FRESH best state (seeded with the permuted
+            # running best, so pruning strength is unchanged) and merge
+            # back by strict-< after the loop — the head state is never
+            # permuted.
+            live = jnp.any(gate[:, s + 1:] < best_t[:, None], axis=1)
+            _, tail_perm = jax.lax.sort_key_val(
+                (~live).astype(jnp.int32), jnp.arange(R, dtype=jnp.int32),
+                is_stable=True,
+            )
+            odt = jnp.concatenate(
+                [origins, dirs, best_t[:, None]], axis=1
+            )[tail_perm]
+            origins, dirs = odt[:, 0:3], odt[:, 3:6]
+            if anyhit_thresh is not None:
+                anyhit_thresh = anyhit_thresh[tail_perm]
+            head = (best_t, best_tri, best_chunk, best_u, best_v)
+            best_t = odt[:, 6]
+            best_tri = jnp.zeros((R,), jnp.int32)
+            best_chunk = jnp.zeros((R,), jnp.int32)
+            best_u = jnp.zeros((R,), jnp.float32)
+            best_v = jnp.zeros((R,), jnp.float32)
+
+    if compact is not None:
+        # Unpermute the tail fold (inverse via one sort — cheaper than a
+        # scatter at this R) and merge: the tail can only win by strict <
+        # of its seeded t_init, so equal-t keeps the head's hit.
+        _, inv_p = jax.lax.sort_key_val(
+            tail_perm, jnp.arange(R, dtype=jnp.int32), is_stable=True
+        )
+        tail = jnp.concatenate(
+            [best_t[:, None], best_u[:, None], best_v[:, None],
+             jax.lax.bitcast_convert_type(best_tri, jnp.float32)[:, None],
+             jax.lax.bitcast_convert_type(best_chunk, jnp.float32)[:, None]],
+            axis=1,
+        )[inv_p]
+        head_t, head_tri, head_chunk, head_u, head_v = head
+        win = tail[:, 0] < head_t
+        best_t = jnp.where(win, tail[:, 0], head_t)
+        best_u = jnp.where(win, tail[:, 1], head_u)
+        best_v = jnp.where(win, tail[:, 2], head_v)
+        best_tri = jnp.where(
+            win, jax.lax.bitcast_convert_type(tail[:, 3], jnp.int32), head_tri
+        )
+        best_chunk = jnp.where(
+            win, jax.lax.bitcast_convert_type(tail[:, 4], jnp.int32), head_chunk
+        )
     gtri = cbvh.sscene.global_tri[best_chunk, best_tri]
     # Miss ⇒ tri = 0 (the reference's quirk, kept by every engine).
     gtri = jnp.where(best_t < C.MAX_FLOAT, gtri, 0)
     if ray_perm is not None:
         # Unpermute: scatter-of-iota + ONE packed 4-column gather.
-        inv_p = jnp.zeros((R,), jnp.int32).at[ray_perm].set(
+        inv_r = jnp.zeros((R,), jnp.int32).at[ray_perm].set(
             jnp.arange(R, dtype=jnp.int32), unique_indices=True
         )
         packed = jnp.stack(
             [best_t, jax.lax.bitcast_convert_type(gtri, jnp.float32),
              best_u, best_v],
             axis=1,
-        )[inv_p]
+        )[inv_r]
         best_t, best_u, best_v = packed[:, 0], packed[:, 2], packed[:, 3]
         gtri = jax.lax.bitcast_convert_type(packed[:, 1], jnp.int32)
     return HitRecord(t=best_t, tri=gtri, u=best_u, v=best_v)
@@ -326,6 +420,7 @@ def trace_chunked(
 def render_hits_chunked(
     scene: Scene, cbvh: ChunkedBvh, cam, impl: str = "auto",
     route: bool = False, rows: int | None = None,
+    compact: tuple[int, ...] | str = "auto",
 ) -> HitRecord:
     """Primary-ray trace of a chunked scene in tile-major packet order
     (mirrors ops/dispatch.camera_trace — reshape/transpose reordering, no
@@ -349,6 +444,7 @@ def render_hits_chunked(
             impl=impl,
             route=route,
             rows=rows,
+            compact=compact,
         )
         return HitRecord(
             t=_row_major(hits.t, h, w, 32),
@@ -356,7 +452,9 @@ def render_hits_chunked(
             u=_row_major(hits.u, h, w, 32),
             v=_row_major(hits.v, h, w, 32),
         )
-    return trace_chunked(cbvh, origins, dirs, impl=impl, route=route, rows=rows)
+    return trace_chunked(
+        cbvh, origins, dirs, impl=impl, route=route, rows=rows, compact=compact
+    )
 
 
 def occluded_chunked(

@@ -55,7 +55,7 @@ def _shadow_origin_bound(scene, miss_o):
     return jnp.maximum(jnp.max(jnp.abs(miss_o)), ext + 1.0)
 
 
-def _shadow_mask(scene, bvh, hits, impl, cam, tables=None):
+def _shadow_mask(scene, bvh, hits, impl, cam, tables=None, substitute=True):
     """Occlusion toward the reference's fixed directional light (1,1,1):
     shadow rays start at the hit point, offset along the light to avoid
     self-intersection.
@@ -90,8 +90,16 @@ def _shadow_mask(scene, bvh, hits, impl, cam, tables=None):
     miss_d = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
     hitm = hits.hit[:, None]
     p = o + jnp.where(hitm, hits.t[:, None], 0.0) * d
-    dirs = jnp.where(hitm, light[None, :], miss_d[None, :])
-    origins = jnp.where(hitm, p + light[None, :] * 1e-3, miss_o[None, :])
+    if substitute:
+        dirs = jnp.where(hitm, light[None, :], miss_d[None, :])
+        origins = jnp.where(hitm, p + light[None, :] * 1e-3, miss_o[None, :])
+    else:
+        # JUNK variant (``substitute=False``, bench A/B only): miss pixels
+        # trace a real shadow ray from the camera origin through the scene —
+        # the round-2 behavior whose removal measured 3.4x on the config-3
+        # frame.  Results identical (masked by ``& hits.hit``); cost is not.
+        dirs = jnp.broadcast_to(light[None, :], p.shape)
+        origins = p + light[None, :] * 1e-3
     # Frame-invariant far scale for occluded(): a bound on max|origins| from
     # the scene alone (hit points sit inside the scene box + the 1e-3 light
     # offset; miss pixels use miss_o) — the SAME arithmetic whether one frame
@@ -113,11 +121,15 @@ def _shadow_mask(scene, bvh, hits, impl, cam, tables=None):
     ) & hits.hit
 
 
-@functools.partial(jax.jit, static_argnames=("impl", "shadows"))
-def _render_rgba_impl(scene, bvh, cam, tex, tables, impl, shadows=False) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("impl", "shadows", "shadow_substitute"))
+def _render_rgba_impl(
+    scene, bvh, cam, tex, tables, impl, shadows=False, shadow_substitute=True
+) -> jnp.ndarray:
     hits = camera_trace(scene, bvh, cam, impl=impl, tables=tables)
     shadow = (
-        _shadow_mask(scene, bvh, hits, impl, cam, tables) if shadows else None
+        _shadow_mask(scene, bvh, hits, impl, cam, tables, shadow_substitute)
+        if shadows
+        else None
     )
     rgba = trace.shade(scene, tex, hits, shadow=shadow)
     return rgba.reshape(cam.height, cam.width, 4)
@@ -138,9 +150,16 @@ def render_rgba(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("impl", "shadows"))
-def _render_frame_impl(scene, bvh, cam, tex, background, tables, impl, shadows=False):
-    traced = _render_rgba_impl(scene, bvh, cam, tex, tables, impl, shadows)
+@functools.partial(
+    jax.jit, static_argnames=("impl", "shadows", "shadow_substitute")
+)
+def _render_frame_impl(
+    scene, bvh, cam, tex, background, tables, impl, shadows=False,
+    shadow_substitute=True,
+):
+    traced = _render_rgba_impl(
+        scene, bvh, cam, tex, tables, impl, shadows, shadow_substitute
+    )
     bg = jnp.broadcast_to(
         jnp.asarray(background, jnp.float32), (cam.height, cam.width, 3)
     )
@@ -155,12 +174,16 @@ def render_frame(
     background: jnp.ndarray,  # (H, W, 3) or (3,) solid color
     impl: str = "auto",
     shadows: bool = False,
+    shadow_substitute: bool = True,
 ) -> jnp.ndarray:
     """Full composited frame (H, W, 4). ``shadows=True`` adds a shadow-ray
-    pass toward the fixed light (capability beyond the reference)."""
+    pass toward the fixed light (capability beyond the reference).
+    ``shadow_substitute=False`` keeps the junk miss-pixel shadow rays (the
+    pre-substitution behavior) — identical output, bench A/B only."""
     impl = resolve_impl(impl, bvh.capacity)
     return _render_frame_impl(
-        scene, bvh, cam, tex, background, _prepared(scene, bvh, impl), impl, shadows
+        scene, bvh, cam, tex, background, _prepared(scene, bvh, impl), impl,
+        shadows, shadow_substitute,
     )
 
 
@@ -246,6 +269,60 @@ def render_frames(
         scene, bvh, cams, tex, background, _prepared(scene, bvh, impl), impl,
         shadows, f,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("impl", "pack"))
+def _animated_frame_impl(scene, bvh, src_idx, metas, cam, positions, impl, pack):
+    from unitysimpleraytracing_tpu.ops import trace_pallas4
+    from unitysimpleraytracing_tpu.pipeline.build import deform_scene, refit_bvh
+
+    s2 = deform_scene(scene, positions)
+    b2 = refit_bvh(s2, bvh)
+    tables = (
+        trace_pallas4._apply_plan4(s2, b2, src_idx, metas, pack)
+        if impl == "pallas4"
+        else None
+    )
+    if impl == "pallas" and tables is None:
+        tables = trace_pallas.prepare_tables(s2, b2)
+    return camera_trace(s2, b2, cam, impl=impl, tables=tables)
+
+
+def make_animated_renderer(scene: Scene, bvh: Bvh, cam: Camera, impl: str = "auto"):
+    """Per-frame animation renderer: returns ``frame(positions) -> HitRecord``
+    where ONE jitted program runs deform → refit → BVH4 table slot-update →
+    trace (VERDICT r3 item 2).
+
+    The topology-dependent half of the table pack (entry sources + metas,
+    trace_pallas4._pack_plan4) is computed ONCE here and closed over; each
+    frame repays only the geometry gathers, fused into the same device
+    program as the refit and the trace — one dispatch per frame, where the
+    unfused loop paid ~5 tunnel round-trips and re-derived the table
+    entries.  The reference rebuilds everything each Awake and has no
+    animated path at all (RaytracingMeshDrawer.cs:30-84).
+
+    ``positions`` is the (T, 3, 3) deformed corner array (deform_scene's
+    input).  Bit-exact vs the unfused deform/refit/render_hits sequence up
+    to XLA fusion differences (the BASELINE parity bar)."""
+    impl = resolve_impl(impl, bvh.capacity)
+    src_idx = metas = None
+    pack = 1
+    if impl == "pallas4":
+        from unitysimpleraytracing_tpu.ops import trace_pallas4
+
+        mask, new_id, cap4 = trace_pallas4._node_mask_cached(bvh)
+        if cap4 is None:
+            cap4 = (2 * bvh.capacity) // 3 + 2
+        pack = 1 if cap4 * 512 <= 88 * 2**20 else 2
+        cap4 = max(-(-cap4 // pack) * pack, pack)
+        src_idx, metas = trace_pallas4._pack_plan4(bvh, mask, new_id, cap4)
+
+    def frame(positions) -> HitRecord:
+        return _animated_frame_impl(
+            scene, bvh, src_idx, metas, cam, positions, impl, pack
+        )
+
+    return frame
 
 
 def frame_to_image(frame: jnp.ndarray):

@@ -51,6 +51,31 @@ def measure(fn, iters: int = 5, warmup: int = 2, reps: int = 8) -> float:
     return max(float(np.median(slopes)), 1e-9)
 
 
+def measure_interleaved(
+    fns: dict, iters: int = 5, warmup: int = 1, reps: int = 4
+) -> dict:
+    """Compare variants under chip-speed drift: one AMORTIZED sample per
+    variant per ROUND, round-robin, so a slow minute hits every variant
+    equally instead of whichever variant's sequential block it lands on (the
+    tunneled chip drifts up to ~2x within a session — sequential-block A/Bs
+    produced contradictory orderings on consecutive runs; slope sampling
+    under the same drift produced impossible minima).  The amortized form
+    t(reps)/reps includes 1/reps of the fixed dispatch+fetch latency — a
+    strict overestimate, identical across variants, so RATIOS hold.
+    Returns ``{name: (median_s, min_s, samples)}``."""
+    for fn in fns.values():
+        for _ in range(warmup):
+            fetch(fn())
+    samples: dict = {k: [] for k in fns}
+    for _ in range(iters):
+        for k, fn in fns.items():
+            samples[k].append(_timed_reps(fn, reps) / reps)
+    return {
+        k: (max(float(np.median(v)), 1e-9), max(min(v), 1e-9), v)
+        for k, v in samples.items()
+    }
+
+
 @dataclass
 class OpStats:
     name: str

@@ -56,6 +56,111 @@ def check_scan_recurrence(raw, scanned) -> None:
     assert bad.size == 0, f"scan recurrence violated at {bad[:10] + 1}"
 
 
+def check_digit_histogram(keys_in, keys_out, shift: int) -> None:
+    """Per-pass permutation check via 256-bucket histogram diff of the pass's
+    digit — exactly the reference's in-situ check
+    (ComputeBufferSorter.cs:193-224)."""
+    din = (np.asarray(keys_in).astype(np.uint64) >> np.uint64(shift)) & np.uint64(
+        C.NUM_BUCKETS - 1
+    )
+    dout = (np.asarray(keys_out).astype(np.uint64) >> np.uint64(shift)) & np.uint64(
+        C.NUM_BUCKETS - 1
+    )
+    hin = np.bincount(din.astype(np.int64), minlength=C.NUM_BUCKETS)
+    hout = np.bincount(dout.astype(np.int64), minlength=C.NUM_BUCKETS)
+    bad = np.nonzero(hin != hout)[0]
+    assert bad.size == 0, (
+        f"digit-pass histogram diff at buckets {bad[:10]} (shift {shift})"
+    )
+
+
+def check_block_histograms(keys_in, hist_t, shift: int, block: int) -> None:
+    """The engine's own per-block histogram (the transposed ``sizesData``
+    layout, LocalRadixSort.compute:132) equals a host recount — the
+    reference's per-block check (ComputeBufferSorter.cs:226-254)."""
+    k = np.asarray(keys_in).astype(np.uint64)
+    n = k.shape[0]
+    assert n % block == 0
+    nblocks = n // block
+    d = ((k >> np.uint64(shift)) & np.uint64(C.NUM_BUCKETS - 1)).astype(np.int64)
+    want = np.zeros((nblocks, C.NUM_BUCKETS), np.int64)
+    for b in range(nblocks):
+        want[b] = np.bincount(d[b * block:(b + 1) * block], minlength=C.NUM_BUCKETS)
+    got = np.asarray(hist_t, dtype=np.int64).reshape(C.NUM_BUCKETS, nblocks).T
+    assert np.array_equal(got, want), "per-block histogram mismatch vs host recount"
+
+
+def check_pass_stable(keys_in, values_in, keys_out, values_out, shift: int) -> None:
+    """One digit pass's full contract: output = stable sort of input by this
+    pass's digit alone (the invariant every LSD pass must preserve)."""
+    ki = np.asarray(keys_in)
+    d = (ki.astype(np.uint64) >> np.uint64(shift)) & np.uint64(C.NUM_BUCKETS - 1)
+    order = np.argsort(d, kind="stable")
+    assert np.array_equal(np.asarray(keys_out), ki[order]), (
+        f"pass (shift {shift}) keys != stable digit sort"
+    )
+    assert np.array_equal(np.asarray(values_out), np.asarray(values_in)[order]), (
+        f"pass (shift {shift}) values violate stability"
+    )
+
+
+def validate_sort_pass(
+    keys_in, values_in, keys_out, values_out, hist_t, scanned,
+    shift: int, block: int,
+) -> None:
+    """All of the reference's per-digit-pass in-situ checks on one pass's
+    observables (ComputeBufferSorter.cs:107-125 runs these after every GPU
+    pass): scan recurrence, per-block histogram recount, digit histogram
+    permutation, and the stable-digit-sort contract."""
+    check_scan_recurrence(hist_t, scanned)
+    check_block_histograms(keys_in, hist_t, shift, block)
+    check_digit_histogram(keys_in, keys_out, shift)
+    check_pass_stable(keys_in, values_in, keys_out, values_out, shift)
+
+
+def validate_sort_per_pass(keys, values, impl: str = "radix") -> None:
+    """Drive every digit pass of the decomposed sort engines standalone and
+    validate each pass's intermediates — the per-pass parity of the
+    reference's ``Sort()`` loop (ComputeBufferSorter.cs:102-125).
+
+    ``impl``: "radix" (the XLA-expressed pass decomposition) or "pallas"
+    (the kernel path; runs in interpret mode on CPU).  The production
+    ``impl="xla"`` engine is a fused ``lax.sort`` with no per-pass
+    observables — its end-to-end output is checked by check_sorted/
+    check_permutation/check_stability instead."""
+    import jax.numpy as jnp
+
+    from unitysimpleraytracing_tpu.ops import sort as sort_ops
+
+    keys = jnp.asarray(keys)
+    values = jnp.asarray(values)
+    n = keys.shape[0]
+    if impl == "pallas":
+        from unitysimpleraytracing_tpu.ops import sort_pallas
+
+        block = sort_pallas.BLOCK
+        nblocks = -(-n // block)
+        pad = nblocks * block - n
+        if pad:
+            keys = jnp.concatenate(
+                [keys, jnp.full((pad,), C.KEY_PADDING, keys.dtype)]
+            )
+            values = jnp.concatenate([values, jnp.zeros((pad,), values.dtype)])
+        pass_fn = sort_pallas.pallas_pass_debug
+    else:
+        assert impl == "radix", impl
+        block = min(C.SORT_BLOCK, n)
+        pass_fn = sort_ops.radix_pass_debug
+    for p in range(C.NUM_PASSES):
+        shift = p * C.RADIX_BITS
+        keys_out, values_out, hist_t, scanned = pass_fn(keys, values, shift)
+        validate_sort_pass(
+            keys, values, keys_out, values_out, hist_t, scanned, shift, block
+        )
+        keys, values = keys_out, values_out
+    check_sorted(keys, keys.shape[0])
+
+
 def check_unique_strictly_increasing(keys, count: int) -> None:
     """distribute_keys postcondition (BVH.compute:29's precondition)."""
     k = np.asarray(keys)[:count].astype(np.int64)
