@@ -86,19 +86,27 @@ def main(argv=None):
         d_r[:, 1] = -np.abs(d_r[:, 1]) - 0.2
         d_r /= np.linalg.norm(d_r, axis=1, keepdims=True)
         o_r, d_r = jnp.asarray(o_r), jnp.asarray(d_r)
-        for route in (True, False):
-            s = measure(
-                lambda r=route: chunked_mod.trace_chunked(
-                    cbvh, o_r, d_r, impl=args.impl, route=r
-                ).t,
-                iters=2, reps=4,
-            )
-            key = "frame_ms" if route else "frame_ms_unrouted"
-            out[key] = round(s * 1e3, 1)
-            if route:
-                out["mrays_per_s"] = round(R / s / 1e6, 2)
-            print(f"[chunk] random-rays route={route}: {out[key]} ms",
+        from unitysimpleraytracing_tpu.utils.profiling import measure_interleaved
+
+        variants = {
+            "routed": dict(route=True, compact=None),
+            "unrouted": dict(route=False, compact=None),
+            "routed_compact1": dict(route=True, compact=1),
+            "unrouted_compact1": dict(route=False, compact=1),
+        }
+        fns = {
+            k: (lambda kw=kw: chunked_mod.trace_chunked(
+                cbvh, o_r, d_r, impl=args.impl, **kw
+            ).t)
+            for k, kw in variants.items()
+        }
+        res = measure_interleaved(fns, iters=5, reps=3)
+        for k, (med, mn, samples) in res.items():
+            out[f"ms_{k}"] = round(med * 1e3, 1)
+            print(f"[chunk] random-rays {k}: med {med*1e3:.1f} ms "
+                  f"samples={[round(s*1e3,1) for s in samples]}",
                   file=sys.stderr, flush=True)
+        out["mrays_per_s"] = round(R / (out["ms_routed"] / 1e3) / 1e6, 2)
         out["rays"] = "random"
         print(json.dumps(out))
         return 0

@@ -32,6 +32,7 @@ from unitysimpleraytracing_tpu.pipeline.chunked import (
     build_bvh_chunked,
     occluded_chunked,
     render_frame_chunked,
+    render_frames_chunked,
     render_hits_chunked,
     render_rgba_chunked,
     trace_chunked,
@@ -77,6 +78,7 @@ __all__ = [
     "render_hits",
     "render_hits_chunked",
     "render_frame_chunked",
+    "render_frames_chunked",
     "render_rgba_chunked",
     "occluded_chunked",
     "render_rgba",

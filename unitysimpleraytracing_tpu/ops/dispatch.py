@@ -70,11 +70,14 @@ def trace_rays(
     t_init=None,
     anyhit_thresh=None,
     rows: int | None = None,
+    popn: int | None = None,
 ) -> HitRecord:
     """Trace an (R, 3) ray batch with the chosen engine, padding R as needed.
 
     ``rows`` overrides the pallas4 packet height (sublanes of 128 rays;
     default 8 = 1024-ray packets — the measured optimum for coherent loads).
+    ``popn`` overrides the pallas4 records-per-iteration pop depth (default
+    8 flat / 2 packed, the measured coherent-load optimum).
 
     Rays should arrive in a coherent order (image-tile order for camera rays).
     ``tables`` optionally carries `trace_pallas.prepare_tables` output so a
@@ -113,6 +116,7 @@ def trace_rays(
             interpret=jax.default_backend() == "cpu", tables=tables,
             t_init=t_init, anyhit_thresh=anyhit_thresh,
             **({} if rows is None else {"rows": rows}),
+            **({} if popn is None else {"popn": popn}),
         )
     elif impl == "pallas":
         hits = trace_pallas.traverse_packets_pallas(

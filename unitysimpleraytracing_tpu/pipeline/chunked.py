@@ -202,7 +202,9 @@ def _chunk_bvh(bvhs: Bvh, s: int, cap: int) -> Bvh:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("impl", "route", "rows", "compact"))
+@functools.partial(
+    jax.jit, static_argnames=("impl", "route", "rows", "compact", "popn")
+)
 def trace_chunked(
     cbvh: ChunkedBvh,
     origins: jnp.ndarray,
@@ -212,6 +214,7 @@ def trace_chunked(
     anyhit_thresh: jnp.ndarray | None = None,
     rows: int | None = None,
     compact: int | None | str = "auto",
+    popn: int | None = None,
 ) -> HitRecord:
     """Nearest hit over all chunks; ``tri`` is the ORIGINAL scene triangle id.
 
@@ -251,9 +254,19 @@ def trace_chunked(
     re-packeting changes packet composition, and with it the packet
     direction votes and union traversal order — EXACT-t ties across
     triangles may resolve differently (the same bounded tie class as the
-    distributed combines; `t` itself is order-independent).
-    ``"auto"`` → one compaction a third of the way through the schedule
-    (measured A/Bs: benchmarks/chunked_bench.py).
+    distributed combines; `t` itself is order-independent); on the
+    measured 1M camera frame the results were fully bit-identical.
+
+    MEASURED NEGATIVE for tile-major camera rays — ``"auto"`` resolves to
+    OFF.  Interleaved drift-robust A/B on v5e (1M tris, 512², ±3% sample
+    dispersion, benchmarks/chunked_bench.py): none 70.7 ms vs compact@1
+    80.1 / compact@2 80.2.  Tile-major packets are already live/dead
+    coherent (sky tiles die together), dead packets already exit at the
+    root for ~one iteration, and the ~6 ms reorder overhead plus the tile
+    coherence lost by mixing distant live rays into shared packets nets
+    ~-12%.  (An earlier sequential-block A/B showed +1.7x — that was
+    chip-speed drift between blocks; see utils/profiling.
+    measure_interleaved.)  The knob stays for incoherent generic batches.
     """
     S, cap = cbvh.num_chunks, cbvh.capacity
     R = origins.shape[0]
@@ -264,7 +277,7 @@ def trace_chunked(
         # builder only ever emits BVH4 at pack=1, so the shapes disambiguate).
         impl = "pallas4" if cbvh.tables.shape[-1] == 64 else "pallas"
     if compact == "auto":
-        compact = max(S // 3, 1) if S >= 4 else None
+        compact = None  # measured negative for camera frames (docstring)
     if compact is not None and not (0 <= compact < S - 1):
         compact = None
     # Distance from the representative origin to each chunk's root box
@@ -340,7 +353,7 @@ def trace_chunked(
         h = trace_rays(
             scene_s, _chunk_bvh(cbvh.bvhs, idx, cap), origins, dirs,
             impl=impl, t_init=best_t, tables=cbvh.tables[idx],
-            anyhit_thresh=anyhit_thresh, rows=rows,
+            anyhit_thresh=anyhit_thresh, rows=rows, popn=popn,
         )
         win = h.t < best_t  # ties → earlier-traced (nearer) chunk
         best_t = jnp.where(win, h.t, best_t)
@@ -420,7 +433,8 @@ def trace_chunked(
 def render_hits_chunked(
     scene: Scene, cbvh: ChunkedBvh, cam, impl: str = "auto",
     route: bool = False, rows: int | None = None,
-    compact: tuple[int, ...] | str = "auto",
+    compact: int | None | str = "auto",
+    popn: int | None = None,
 ) -> HitRecord:
     """Primary-ray trace of a chunked scene in tile-major packet order
     (mirrors ops/dispatch.camera_trace — reshape/transpose reordering, no
@@ -445,6 +459,7 @@ def render_hits_chunked(
             route=route,
             rows=rows,
             compact=compact,
+            popn=popn,
         )
         return HitRecord(
             t=_row_major(hits.t, h, w, 32),
@@ -453,23 +468,33 @@ def render_hits_chunked(
             v=_row_major(hits.v, h, w, 32),
         )
     return trace_chunked(
-        cbvh, origins, dirs, impl=impl, route=route, rows=rows, compact=compact
+        cbvh, origins, dirs, impl=impl, route=route, rows=rows,
+        compact=compact, popn=popn,
     )
 
 
 def occluded_chunked(
-    cbvh: ChunkedBvh, origins, dirs, impl: str = "auto", eps: float = 4e-3
+    cbvh: ChunkedBvh, origins, dirs, impl: str = "auto", eps: float = 4e-3,
+    origin_bound=None,
 ):
     """Chunked occlusion query (dispatch.occluded's semantics over a chunked
     scene): traced backward from outside the whole scene with the any-hit
-    early exit per chunk; t_init threads the collapse across chunks."""
+    early exit per chunk; t_init threads the collapse across chunks.
+
+    ``origin_bound`` optionally replaces the batch-derived ``max|origins|``
+    term of the far scale with a caller bound — the frame-invariant form
+    (render.py's _shadow_origin_bound) that makes batched multi-frame shadow
+    passes bit-identical to per-frame calls by construction."""
     roots_min = cbvh.bvhs.node_aabb_min[:, 0]
     roots_max = cbvh.bvhs.node_aabb_max[:, 0]
     ext = jnp.maximum(
         jnp.max(jnp.abs(jnp.nan_to_num(roots_min, posinf=0.0, neginf=0.0))),
         jnp.max(jnp.abs(jnp.nan_to_num(roots_max, posinf=0.0, neginf=0.0))),
     )
-    far = 4.0 * ext + jnp.max(jnp.abs(origins)) + 1.0
+    obound = (
+        jnp.max(jnp.abs(origins)) if origin_bound is None else origin_bound
+    )
+    far = 4.0 * ext + obound + 1.0
     back_origins = origins + dirs * far
     thresh = jnp.broadcast_to(far - eps, (origins.shape[0],)).astype(jnp.float32)
     hits = trace_chunked(
@@ -494,28 +519,46 @@ def render_rgba_chunked(
     shadow = None
     if shadows:
         o, d = generate_rays(cam)
-        light = jnp.full((3,), 1.0 / jnp.sqrt(jnp.float32(3.0)), jnp.float32)
-        root_max = jnp.max(
-            jnp.nan_to_num(cbvh.bvhs.node_aabb_max[:, 0], posinf=0.0, neginf=0.0),
-            axis=0,
-        )
-        miss_o = root_max + jnp.maximum(jnp.max(jnp.abs(root_max)), 1.0)
-        miss_d = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
-        hitm = hits.hit[:, None]
-        p = o + jnp.where(hitm, hits.t[:, None], 0.0) * d
-        dirs = jnp.where(hitm, light[None, :], miss_d[None, :])
-        origins = jnp.where(hitm, p + light[None, :] * 1e-3, miss_o[None, :])
+        origins, dirs, origin_bound = _shadow_rays_chunked(cbvh, hits, o, d)
         h, w = cam.height, cam.width
         if h % 32 == 0 and w % 32 == 0:
             occ = occluded_chunked(
                 cbvh, _tile_major(origins, h, w, 32),
                 _tile_major(dirs, h, w, 32), impl=impl,
+                origin_bound=origin_bound,
             )
             shadow = _row_major(occ, h, w, 32) & hits.hit
         else:
-            shadow = occluded_chunked(cbvh, origins, dirs, impl=impl) & hits.hit
+            shadow = occluded_chunked(
+                cbvh, origins, dirs, impl=impl, origin_bound=origin_bound
+            ) & hits.hit
     rgba = trace_ops.shade(scene, tex, hits, shadow=shadow)
     return rgba.reshape(cam.height, cam.width, 4)
+
+
+def _shadow_rays_chunked(cbvh: ChunkedBvh, hits: HitRecord, o, d):
+    """Shadow-ray construction over a chunked scene (render._shadow_mask's
+    recipe): hit points from origin + t·dir, guaranteed-miss substitutes for
+    miss pixels, and a FRAME-INVARIANT origin bound derived from the chunk
+    roots alone — so batched multi-frame shadow passes are bit-identical to
+    per-frame calls by construction (the ADVICE-r3 fix, applied here too)."""
+    light = jnp.full((3,), 1.0 / jnp.sqrt(jnp.float32(3.0)), jnp.float32)
+    root_max = jnp.max(
+        jnp.nan_to_num(cbvh.bvhs.node_aabb_max[:, 0], posinf=0.0, neginf=0.0),
+        axis=0,
+    )
+    roots_min = jnp.nan_to_num(
+        cbvh.bvhs.node_aabb_min[:, 0], posinf=0.0, neginf=0.0
+    )
+    miss_o = root_max + jnp.maximum(jnp.max(jnp.abs(root_max)), 1.0)
+    miss_d = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+    hitm = hits.hit[:, None]
+    p = o + jnp.where(hitm, hits.t[:, None], 0.0) * d
+    dirs = jnp.where(hitm, light[None, :], miss_d[None, :])
+    origins = jnp.where(hitm, p + light[None, :] * 1e-3, miss_o[None, :])
+    ext = jnp.maximum(jnp.max(jnp.abs(roots_min)), jnp.max(jnp.abs(root_max)))
+    origin_bound = jnp.maximum(jnp.max(jnp.abs(miss_o)), ext + 1.0)
+    return origins, dirs, origin_bound
 
 
 def render_frame_chunked(
@@ -531,3 +574,55 @@ def render_frame_chunked(
         jnp.asarray(background, jnp.float32), (cam.height, cam.width, 3)
     )
     return trace_ops.compose(bg, traced)
+
+
+def render_frames_chunked(
+    scene: Scene, cbvh: ChunkedBvh, cams, tex, background,
+    impl: str = "auto", shadows: bool = False,
+):
+    """Batched animation render over a CHUNKED scene: (F, H, W, 4) frames
+    from F stacked camera poses — render.render_frames' offline-throughput
+    path extended past the single-kernel capacity.
+
+    All F frames' tile-major rays concatenate into ONE chunk-streaming fold,
+    so each chunk's table gather and launch fixed costs are paid once per
+    ANIMATION instead of once per frame — exactly the cost the per-chunk
+    schedule multiplies by S.  Matches F independent `render_frame_chunked`
+    calls bit-for-bit (per-ray fold; the shadow far scale is
+    frame-invariant by construction, see _shadow_rays_chunked) up to two
+    bounded edges: the near-first chunk schedule comes from the BATCH mean
+    origin (EXACT cross-chunk t-ties may resolve to a different chunk),
+    and when H·W is not a packet multiple, frame boundaries split packets
+    (exact-t tie class again)."""
+    from unitysimpleraytracing_tpu.core.camera import generate_rays
+    from unitysimpleraytracing_tpu.ops import trace as trace_ops
+    from unitysimpleraytracing_tpu.ops.dispatch import _row_major, _tile_major
+
+    f = int(jnp.asarray(cams.cam_to_world).shape[0])
+    h, w = cams.height, cams.width
+    assert h % 32 == 0 and w % 32 == 0, "batched frames need 32-divisible dims"
+    o, d = jax.vmap(generate_rays)(cams)
+    ot = jax.vmap(lambda x: _tile_major(x, h, w, 32))(o).reshape(f * h * w, 3)
+    dt = jax.vmap(lambda x: _tile_major(x, h, w, 32))(d).reshape(f * h * w, 3)
+    hits = trace_chunked(cbvh, ot, dt, impl=impl, route=False)
+
+    shadow = None
+    if shadows:
+        origins, dirs, origin_bound = _shadow_rays_chunked(cbvh, hits, ot, dt)
+        shadow = occluded_chunked(
+            cbvh, origins, dirs, impl=impl, origin_bound=origin_bound
+        ) & hits.hit
+
+    def unbatch(x):
+        x = x.reshape(f, h * w)
+        return jax.vmap(lambda r: _row_major(r, h, w, 32))(x).reshape(f * h * w)
+
+    hits = HitRecord(
+        t=unbatch(hits.t), tri=unbatch(hits.tri),
+        u=unbatch(hits.u), v=unbatch(hits.v),
+    )
+    if shadow is not None:
+        shadow = unbatch(shadow)
+    rgba = trace_ops.shade(scene, tex, hits, shadow=shadow).reshape(f, h, w, 4)
+    bg = jnp.broadcast_to(jnp.asarray(background, jnp.float32), (h, w, 3))
+    return jax.vmap(lambda fr: trace_ops.compose(bg, fr))(rgba)
