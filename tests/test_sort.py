@@ -111,3 +111,12 @@ def test_per_pass_validation_catches_corruption():
     bad_vals[i], bad_vals[i + 1] = bad_vals[i + 1], bad_vals[i]
     with pytest.raises(AssertionError):
         validate.check_pass_stable(np.asarray(k), np.asarray(v), np.asarray(ko), bad_vals, 0)
+
+
+@pytest.mark.parametrize("impl", ["radix", "pallas"])
+def test_per_pass_validation_padded_sizes(impl):
+    """Capacity-padded scene arrays are not block multiples (e.g. 7168 with
+    SORT_BLOCK=4096) — the per-pass validator pads with tail-sorting max
+    keys like the reference (MeshBufferContainer.cs:108-109)."""
+    keys, values = _random_kv(7168, seed=5)
+    validate.validate_sort_per_pass(jnp.asarray(keys), jnp.asarray(values), impl=impl)

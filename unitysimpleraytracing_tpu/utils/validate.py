@@ -139,18 +139,20 @@ def validate_sort_per_pass(keys, values, impl: str = "radix") -> None:
         from unitysimpleraytracing_tpu.ops import sort_pallas
 
         block = sort_pallas.BLOCK
-        nblocks = -(-n // block)
-        pad = nblocks * block - n
-        if pad:
-            keys = jnp.concatenate(
-                [keys, jnp.full((pad,), C.KEY_PADDING, keys.dtype)]
-            )
-            values = jnp.concatenate([values, jnp.zeros((pad,), values.dtype)])
         pass_fn = sort_pallas.pallas_pass_debug
     else:
         assert impl == "radix", impl
         block = min(C.SORT_BLOCK, n)
         pass_fn = sort_ops.radix_pass_debug
+    # Pad to a block multiple with tail-sorting max keys (the reference's
+    # padding convention, MeshBufferContainer.cs:108-109) — capacity-padded
+    # scene arrays are not generally block multiples.
+    pad = -n % block
+    if pad:
+        keys = jnp.concatenate(
+            [keys, jnp.full((pad,), C.KEY_PADDING, keys.dtype)]
+        )
+        values = jnp.concatenate([values, jnp.zeros((pad,), values.dtype)])
     for p in range(C.NUM_PASSES):
         shift = p * C.RADIX_BITS
         keys_out, values_out, hist_t, scanned = pass_fn(keys, values, shift)
