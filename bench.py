@@ -338,22 +338,27 @@ def main() -> None:
         tex = rt.solid_texture((0.8, 0.7, 0.6, 1.0))
         bg = np.asarray([0.1, 0.1, 0.12], np.float32)
 
-        s = measure(
-            lambda: rt.render_frame(
-                sscene, sbvh, scam, tex, bg, shadows=True
-            ),
-            iters=2, reps=4,
-        )
         # Same-session A/B vs the JUNK miss-pixel shadow rays (the round-2
         # behavior): identical output, the artifact carries both times so the
         # substitution win is visible regardless of session speed.
-        s_junk = measure(
-            lambda: rt.render_frame(
-                sscene, sbvh, scam, tex, bg, shadows=True,
-                shadow_substitute=False,
-            ),
-            iters=2, reps=4,
+        # INTERLEAVED rounds (not sequential blocks): the chip drifts up to
+        # ~2x within a session, and round-robin sampling is the only A/B
+        # form that survives it (utils/profiling.measure_interleaved).
+        from unitysimpleraytracing_tpu.utils.profiling import measure_interleaved
+
+        res = measure_interleaved(
+            {
+                "subst": lambda: rt.render_frame(
+                    sscene, sbvh, scam, tex, bg, shadows=True
+                ),
+                "junk": lambda: rt.render_frame(
+                    sscene, sbvh, scam, tex, bg, shadows=True,
+                    shadow_substitute=False,
+                ),
+            },
+            iters=4, reps=2,
         )
+        s, s_junk = res["subst"][0], res["junk"][0]
         # shadows => ~2 trace passes per pixel
         extra["sponza_class"] = {
             "n_tris": sscene.count,

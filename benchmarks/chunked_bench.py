@@ -35,8 +35,8 @@ def main(argv=None):
                     help="also time each chunk's launch separately")
     ap.add_argument("--compact", default="none,auto",
                     help="comma-separated compaction variants to A/B on the "
-                    "camera frame: 'none', 'auto', or schedule positions "
-                    "like '1' / '1+3' (e.g. --compact none,auto,1+3)")
+                    "camera frame: 'none', 'auto', or a single schedule "
+                    "position (e.g. --compact none,auto,1)")
     args = ap.parse_args(argv)
 
     import jax

@@ -118,12 +118,16 @@ def main(argv=None):
         s2 = deform_scene(scene, pos)
         return rt.build_bvh(s2).node_aabb_min
 
-    bvh0 = rt.build_bvh(deform_scene(scene, positions[0]))
+    # Trace stage timed on a CONSISTENT (scene, bvh) pair — frame 0's —
+    # exactly what the pipeline's stage 1 traces (it receives the build
+    # stage's output for that frame, never a stale tree).
+    s2_0 = deform_scene(scene, positions[0])
+    bvh0 = rt.build_bvh(s2_0)
 
     @jax.jit
     def trace_stage(pos):
-        s2 = deform_scene(scene, pos)
-        return dispatch.trace_rays(s2, bvh0, origins, dirs, impl=args.impl).t
+        del pos  # stage cost is per-frame trace; geometry fixed per frame
+        return dispatch.trace_rays(s2_0, bvh0, origins, dirs, impl=args.impl).t
 
     def timed_stage(fn, reps=6):
         jax.block_until_ready(fn(positions[0]))

@@ -171,11 +171,18 @@ def test_subdivide_mesh_watertight_and_counts():
         e2 = m.positions[:, 2] - m.positions[:, 0]
         return float(np.linalg.norm(np.cross(e1, e2), axis=1).sum() / 2)
     np.testing.assert_allclose(area(s1), area(base), rtol=1e-5)
-    # Displaced: corners at the same position move to the same place.
+    # Displaced: corners at the same PRE-displacement position must land at
+    # the same place (grouping keys come from the undisplaced mesh, so a
+    # crack — shared corners moving apart — fails this; the cube's hard
+    # per-face normals make it the adversarial fixture).
+    s2 = rt.subdivide_mesh(base, levels=2)
     sd = rt.subdivide_mesh(base, levels=2, displace=0.1)
-    v = sd.positions.reshape(-1, 3)
-    key = np.round(v, 4)
-    _, inv_idx = np.unique(key, axis=0, return_inverse=True)
+    pre = s2.positions.reshape(-1, 3)
+    post = sd.positions.reshape(-1, 3)
+    _, inv_idx = np.unique(np.round(pre, 5), axis=0, return_inverse=True)
+    inv_idx = inv_idx.ravel()
     for g in range(inv_idx.max() + 1):
-        rows = v[inv_idx == g]
-        assert np.allclose(rows, rows[0], atol=1e-5)
+        rows = post[inv_idx == g]
+        assert np.allclose(rows, rows[0], atol=1e-6), "surface cracked"
+    # And the displacement actually moved the surface.
+    assert np.abs(post - pre).max() > 0.01

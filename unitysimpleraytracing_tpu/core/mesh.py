@@ -233,10 +233,14 @@ def subdivide_mesh(
 
     Each level splits every triangle at its edge midpoints (uv/normals
     interpolated linearly, normals renormalized).  ``displace`` moves every
-    corner along its normal by a smooth trigonometric field of POSITION —
-    a pure function of the coordinate, so corners shared between triangles
-    displace identically and the surface stays crack-free.  Deterministic;
-    no reference counterpart (the reference hard-caps at 524 288 tris,
+    corner along a SMOOTH per-position normal (the normalized mean of all
+    corner normals sharing that exact position — hard-edged meshes carry a
+    different normal per face at a shared corner, so the raw corner normal
+    would crack the surface) by a smooth trigonometric field of POSITION.
+    Both direction and amplitude are then pure functions of the coordinate,
+    so shared corners displace identically and the surface stays
+    crack-free.  Shading normals are left as authored.  Deterministic; no
+    reference counterpart (the reference hard-caps at 524 288 tris,
     Constants.cs:3-6, and ships 12 800 at most)."""
     pos = mesh.positions.astype(np.float32)
     uv = mesh.uvs.astype(np.float32)
@@ -257,6 +261,21 @@ def subdivide_mesh(
             np.linalg.norm(nrm, axis=2, keepdims=True), 1e-20
         )
     if displace:
+        # Smooth per-position displacement direction: mean of every corner
+        # normal sharing the exact position (midpoints are computed from the
+        # same endpoint values in every adjacent triangle, so shared
+        # positions are bit-equal and exact-byte grouping is sound).
+        flat_p = pos.reshape(-1, 3)
+        flat_n = nrm.reshape(-1, 3)
+        _, inv_idx = np.unique(
+            flat_p.view([("x", np.float32), ("y", np.float32), ("z", np.float32)]),
+            return_inverse=True,
+        )
+        inv_idx = inv_idx.ravel()
+        acc = np.zeros((inv_idx.max() + 1, 3), np.float64)
+        np.add.at(acc, inv_idx, flat_n)
+        acc /= np.maximum(np.linalg.norm(acc, axis=1, keepdims=True), 1e-20)
+        dir_n = acc[inv_idx].astype(np.float32).reshape(pos.shape)
         # Extent-relative frequency; same field at a given coordinate no
         # matter which triangle evaluates it.
         ext = float(np.max(np.abs(pos))) or 1.0
@@ -267,7 +286,7 @@ def subdivide_mesh(
             + 0.5 * np.sin(k * 5.7 * pos[..., 2] + 4.2)
             * np.cos(k * 4.1 * pos[..., 0] + 2.6)
         )
-        pos = pos + nrm * (displace * field)[..., None]
+        pos = pos + dir_n * (displace * field)[..., None]
     return MeshData(
         positions=np.ascontiguousarray(pos, np.float32),
         uvs=np.ascontiguousarray(uv, np.float32),

@@ -279,7 +279,13 @@ def trace_chunked(
     if compact == "auto":
         compact = None  # measured negative for camera frames (docstring)
     if compact is not None and not (0 <= compact < S - 1):
-        compact = None
+        # Explicit positions must be meaningful — a silent no-op would let
+        # an A/B compare two identical programs under different labels.
+        raise ValueError(
+            f"compact={compact} is out of range for {S} chunks (valid: "
+            f"0..{S - 2}, i.e. a position with chunks remaining after it); "
+            f"use compact=None to disable"
+        )
     # Distance from the representative origin to each chunk's root box
     # (camera rays share one origin; for mixed batches the mean is only a
     # scheduling heuristic — results are exact for any order).

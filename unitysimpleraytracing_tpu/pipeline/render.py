@@ -315,6 +315,9 @@ def make_animated_renderer(scene: Scene, bvh: Bvh, cam: Camera, impl: str = "aut
             cap4 = (2 * bvh.capacity) // 3 + 2
         pack = 1 if cap4 * 512 <= 88 * 2**20 else 2
         cap4 = max(-(-cap4 // pack) * pack, pack)
+        # Same meta-packing guards as pack_tables4 (idx + leaf<<21 + ax<<22).
+        assert cap4 < (1 << 21), "meta packing needs node ids < 2^21"
+        assert bvh.capacity < (1 << 21), "meta packing needs triangle ids < 2^21"
         src_idx, metas = trace_pallas4._pack_plan4(bvh, mask, new_id, cap4)
 
     def frame(positions) -> HitRecord:
