@@ -260,17 +260,19 @@ def main(argv=None) -> None:
     stem = stem or args.out
     times = []
     batchable = (
-        args.orbit_batch and not chunked
+        args.orbit_batch
         and args.width % 32 == 0 and args.height % 32 == 0
     )
     if args.orbit_batch and not batchable:
-        print("orbit-batch needs 32-divisible dims and a non-chunked scene; "
+        print("orbit-batch needs 32-divisible dims; "
               "falling back to the per-frame loop")
     if batchable:
         # Batched throughput mode: groups of frames flatten into ONE ray
-        # dispatch each (pipeline/render.render_frames) — per-frame host and
-        # dispatch overhead amortizes away.  Solid-color or image plate both
-        # work ((3,) or (H,W,3) background).
+        # dispatch each (pipeline/render.render_frames; past the single-
+        # kernel capacity, render_frames_chunked — every frame's rays share
+        # one chunk-streaming fold) — per-frame host and dispatch overhead
+        # amortizes away.  Solid-color or image plate both work ((3,) or
+        # (H,W,3) background).
         import jax
         import jax.numpy as jnp
 
@@ -281,9 +283,14 @@ def main(argv=None) -> None:
             cams = [cam_at(e) for e in eyes[lo:lo + group]]
             stack = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
             t0 = time.perf_counter()
-            batch = rt.render_frames(
-                scene, bvh, stack, tex, background, shadows=args.shadows
-            )
+            if chunked:
+                batch = rt.render_frames_chunked(
+                    scene, cbvh, stack, tex, background, shadows=args.shadows
+                )
+            else:
+                batch = rt.render_frames(
+                    scene, bvh, stack, tex, background, shadows=args.shadows
+                )
             batch.block_until_ready()
             times.append((time.perf_counter() - t0) / len(cams))
             # PNGs written (and frames pulled to host) per group so device
