@@ -112,10 +112,10 @@ def main(argv=None):
         fns = {
             "plain": lambda: trace_pallas4.traverse_packets_pallas4(
                 scene, bvh, o, d, tables=tables4, rows=args.rows
-            ).t,
+            ).t.sum(),
             "compressed": lambda: trace_pallas4.traverse_packets_pallas4(
                 scene, bvh, o, d, tables=tablesc, rows=args.rows
-            ).t,
+            ).t.sum(),
         }
         res = measure_interleaved(fns, iters=5, reps=4)
         for k, (med, mn, samples) in res.items():
@@ -127,8 +127,10 @@ def main(argv=None):
             print(f"[ab] {k}: med {med*1e3:.2f} ms "
                   f"({out[f'bvh4_{k}']['mrays_med']} Mrays/s)",
                   file=sys.stderr, flush=True)
-        t_p = np.asarray(fns["plain"]())
-        t_c = np.asarray(fns["compressed"]())
+        t_p = np.asarray(trace_pallas4.traverse_packets_pallas4(
+            scene, bvh, o, d, tables=tables4, rows=args.rows).t)
+        t_c = np.asarray(trace_pallas4.traverse_packets_pallas4(
+            scene, bvh, o, d, tables=tablesc, rows=args.rows).t)
         out["compress_parity_t"] = bool(np.array_equal(t_p, t_c))
         print(f"[ab] compress parity: {out['compress_parity_t']}",
               file=sys.stderr, flush=True)

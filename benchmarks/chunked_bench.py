@@ -97,7 +97,7 @@ def main(argv=None):
         fns = {
             k: (lambda kw=kw: chunked_mod.trace_chunked(
                 cbvh, o_r, d_r, impl=args.impl, **kw
-            ).t)
+            ).t.sum())
             for k, kw in variants.items()
         }
         res = measure_interleaved(fns, iters=5, reps=3)
@@ -125,7 +125,7 @@ def main(argv=None):
         spec: (lambda c=parse_compact(spec): chunked_mod.render_hits_chunked(
             big, cbvh, cam, impl=args.impl, route=False, rows=args.rows,
             compact=c,
-        ).t)
+        ).t.sum())
         for spec in specs
     }
     # Interleaved amortized rounds: the tunneled chip's speed drifts within a

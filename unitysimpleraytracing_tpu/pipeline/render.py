@@ -89,17 +89,20 @@ def _shadow_mask(scene, bvh, hits, impl, cam, tables=None, substitute=True):
     miss_o = base + jnp.maximum(jnp.max(jnp.abs(base)), 1.0)
     miss_d = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
     hitm = hits.hit[:, None]
-    p = o + jnp.where(hitm, hits.t[:, None], 0.0) * d
     if substitute:
+        p = o + jnp.where(hitm, hits.t[:, None], 0.0) * d
         dirs = jnp.where(hitm, light[None, :], miss_d[None, :])
         origins = jnp.where(hitm, p + light[None, :] * 1e-3, miss_o[None, :])
     else:
         # JUNK variant (``substitute=False``, bench A/B only): miss pixels
-        # trace a real shadow ray from the camera origin through the scene —
-        # the round-2 behavior whose removal measured 3.4x on the config-3
-        # frame.  Results identical (masked by ``& hits.hit``); cost is not.
+        # trace a real shadow ray from the WORLD ORIGIN (p = 0, inside the
+        # scene bounds) toward the light — exactly round 2's `_shadow_mask`
+        # (benchmarks/config3_ab.py's faithful reproduction), whose removal
+        # measured 3.4x on the config-3 frame.  Results identical (masked
+        # by ``& hits.hit``); cost is not.
+        p = jnp.where(hitm, o + hits.t[:, None] * d, 0.0)
         dirs = jnp.broadcast_to(light[None, :], p.shape)
-        origins = p + light[None, :] * 1e-3
+        origins = p + dirs * 1e-3
     # Frame-invariant far scale for occluded(): a bound on max|origins| from
     # the scene alone (hit points sit inside the scene box + the 1e-3 light
     # offset; miss pixels use miss_o) — the SAME arithmetic whether one frame
