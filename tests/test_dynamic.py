@@ -256,3 +256,16 @@ def test_animated_renderer_fused_matches_unfused():
         np.testing.assert_array_equal(
             np.asarray(got.tri)[hit], np.asarray(ref.tri)[hit]
         )
+
+
+def test_chunked_capacity_contract():
+    """An oversized chunk_capacity must raise a typed error at BUILD time —
+    the table would blow the VMEM budget only at trace time with an opaque
+    Mosaic scoped-vmem OOM (observed at 524288-tri chunks on v5e)."""
+    import pytest
+
+    from unitysimpleraytracing_tpu.pipeline import chunked as chunked_mod
+
+    with pytest.raises(ValueError, match="VMEM"):
+        chunked_mod._check_chunk_records(300000, 524288)
+    chunked_mod._check_chunk_records(150000, 163840)  # the default passes

@@ -49,6 +49,28 @@ class ChunkedBvh:
         return self.sscene.shard_capacity
 
 
+# Per-chunk BVH4 tables are VMEM-resident at 512 B/record with ~100 MB of
+# scoped VMEM per core (trace_pallas4's compiler budget, minus ray/output
+# windows): the flat (pack=1) layout the chunked builder emits tolerates
+# about 180K records per chunk.
+_CHUNK_RECORD_LIMIT = (88 * 2**20) // 512
+
+
+def _check_chunk_records(cap4: int, chunk_capacity: int) -> None:
+    """Typed build-time capacity contract for the chunked path: an oversized
+    chunk builds fine but its VMEM-resident table cannot compile (Mosaic
+    scoped-vmem OOM at trace time) — raise here with the actionable bound
+    instead (the render_frame CapacityError's analog, ops/dispatch.py)."""
+    if cap4 > _CHUNK_RECORD_LIMIT:
+        raise ValueError(
+            f"chunk_capacity={chunk_capacity} yields {cap4} BVH4 records per "
+            f"chunk (~{cap4 * 512 // 2**20} MB), over the ~88 MB VMEM table "
+            f"budget ({_CHUNK_RECORD_LIMIT} records). Use a smaller "
+            f"chunk_capacity (the measured optimum is 163840; safe up to "
+            f"~270000)."
+        )
+
+
 def _local_build_sah(morton_l, aabb_min_l, aabb_max_l, count):
     """Per-shard sweep-SAH build (the ``builder="sah"`` analog of
     dist._local_build; same degenerate-shard clamping)."""
@@ -115,6 +137,7 @@ def build_bvh_chunked(
     if record_format == "bvh4":
         infos = [trace_pallas4._node_mask_cached(b) for b in chunk_bvhs]
         cap4 = max(max(c for _, _, c in infos), 1)
+        _check_chunk_records(cap4, chunk_capacity)
         tables = jnp.stack(
             [
                 trace_pallas4.pack_tables4(
@@ -150,6 +173,7 @@ def _build_bvh_chunked_traced(
     cap = sscene.shard_capacity
     if record_format == "bvh4":
         cap4 = (2 * cap) // 3 + 2
+        _check_chunk_records(cap4, chunk_capacity)
         tables = jnp.stack(
             [
                 trace_pallas4.pack_tables4(
