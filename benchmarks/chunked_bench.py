@@ -37,6 +37,11 @@ def main(argv=None):
                     help="comma-separated compaction variants to A/B on the "
                     "camera frame: 'none', 'auto', or a single schedule "
                     "position (e.g. --compact none,auto,1)")
+    ap.add_argument("--oracle", action="store_true",
+                    help="also measure the perfect-knowledge pruning bound: "
+                    "every chunk seeded with the FINAL per-ray t — no "
+                    "schedule/compaction/routing can beat it (measured 1.14x "
+                    "over production on v5e; the residual is intrinsic)")
     args = ap.parse_args(argv)
 
     import jax
@@ -173,6 +178,53 @@ def main(argv=None):
     out["frame_ms_routed"] = round(s * 1e3, 1)
     print(f"[chunk] frame routed: {out['frame_ms_routed']} ms",
           file=sys.stderr, flush=True)
+
+    if args.oracle:
+        # Perfect-knowledge pruning bound: seed every chunk with the FINAL
+        # per-ray t.  The production/oracle gap bounds what ANY smarter
+        # schedule could recover; the oracle itself is the intrinsic union
+        # traversal cost at this chunk granularity.
+        from unitysimpleraytracing_tpu.ops.dispatch import trace_rays
+        from unitysimpleraytracing_tpu.pipeline.chunked import (
+            _chunk_bvh, _chunk_scene,
+        )
+
+        o0, d0 = generate_rays(cam)
+        o0 = _tile_major(o0, HEIGHT, WIDTH, 32)
+        d0 = _tile_major(d0, HEIGHT, WIDTH, 32)
+        t_final = chunked_mod.trace_chunked(cbvh, o0, d0, route=False).t
+        S_, cap_ = cbvh.num_chunks, cbvh.capacity
+
+        @jax.jit
+        def oracle_frame(t0):
+            best = t0
+            for s_ in range(S_):
+                h = trace_rays(
+                    _chunk_scene(cbvh.sscene, s_, cap_),
+                    _chunk_bvh(cbvh.bvhs, s_, cap_), o0, d0,
+                    impl="pallas4", t_init=best, tables=cbvh.tables[s_],
+                )
+                best = jnp.minimum(best, h.t)
+            return best.sum()
+
+        res_o = measure_interleaved(
+            {
+                "production": lambda: chunked_mod.trace_chunked(
+                    cbvh, o0, d0, route=False
+                ).t.sum(),
+                "oracle": lambda: oracle_frame(t_final),
+            },
+            iters=6, reps=3,
+        )
+        out["frame_ms_oracle"] = round(res_o["oracle"][0] * 1e3, 1)
+        out["frame_ms_production"] = round(res_o["production"][0] * 1e3, 1)
+        out["schedule_headroom_x"] = round(
+            res_o["production"][0] / res_o["oracle"][0], 2
+        )
+        print(f"[chunk] oracle bound: {out['frame_ms_oracle']} ms vs "
+              f"production {out['frame_ms_production']} "
+              f"(headroom {out['schedule_headroom_x']}x)",
+              file=sys.stderr, flush=True)
 
     if args.per_chunk:
         # Time each chunk's launch separately (static chunk index, real
