@@ -96,9 +96,10 @@ def main(argv=None):
         variants = {
             "routed": dict(route=True, compact=None),
             "unrouted": dict(route=False, compact=None),
-            "routed_compact1": dict(route=True, compact=1),
-            "unrouted_compact1": dict(route=False, compact=1),
         }
+        if cbvh.num_chunks > 2:  # compact=1 needs chunks after position 1
+            variants["routed_compact1"] = dict(route=True, compact=1)
+            variants["unrouted_compact1"] = dict(route=False, compact=1)
         fns = {
             k: (lambda kw=kw: chunked_mod.trace_chunked(
                 cbvh, o_r, d_r, impl=args.impl, **kw
@@ -133,10 +134,18 @@ def main(argv=None):
         ).t.sum())
         for spec in specs
     }
+    # Routed variant interleaved WITH the others (a sequential slope row
+    # here would mix methodologies across the drift the others cancel).
+    fns["routed"] = lambda: chunked_mod.render_hits_chunked(
+        big, cbvh, cam, impl=args.impl, route=True, rows=args.rows
+    ).t.sum()
     # Interleaved amortized rounds: the tunneled chip's speed drifts within a
     # session, so sequential-block A/Bs are unreliable — round-robin sampling
     # hits every variant with the same drift; median-of-rounds compares.
     res = measure_interleaved(fns, iters=6, reps=3)
+    out["frame_ms_routed"] = round(res["routed"][0] * 1e3, 1)
+    print(f"[chunk] frame routed: {out['frame_ms_routed']} ms (interleaved)",
+          file=sys.stderr, flush=True)
     for spec in specs:
         med, mn, samples = res[spec]
         out[f"frame_ms_compact_{spec}"] = round(med * 1e3, 1)
@@ -169,16 +178,6 @@ def main(argv=None):
     out["frame_ms"] = out.get("frame_ms_compact_auto", best)
     out["mrays_per_s"] = round(R / (out["frame_ms"] / 1e3) / 1e6, 2)
 
-    s = measure(
-        lambda: chunked_mod.render_hits_chunked(
-            big, cbvh, cam, impl=args.impl, route=True, rows=args.rows
-        ).t,
-        iters=2, reps=4,
-    )
-    out["frame_ms_routed"] = round(s * 1e3, 1)
-    print(f"[chunk] frame routed: {out['frame_ms_routed']} ms",
-          file=sys.stderr, flush=True)
-
     if args.oracle:
         # Perfect-knowledge pruning bound: seed every chunk with the FINAL
         # per-ray t.  The production/oracle gap bounds what ANY smarter
@@ -192,8 +191,15 @@ def main(argv=None):
         o0, d0 = generate_rays(cam)
         o0 = _tile_major(o0, HEIGHT, WIDTH, 32)
         d0 = _tile_major(d0, HEIGHT, WIDTH, 32)
-        t_final = chunked_mod.trace_chunked(cbvh, o0, d0, route=False).t
+        t_final = chunked_mod.trace_chunked(
+            cbvh, o0, d0, impl=args.impl, route=False
+        ).t
         S_, cap_ = cbvh.num_chunks, cbvh.capacity
+        # Resolve the per-chunk engine the same way trace_chunked does
+        # (table shape decides the format; --impl overrides for both arms).
+        impl_o = args.impl
+        if impl_o == "auto":
+            impl_o = "pallas4" if cbvh.tables.shape[-1] == 64 else "pallas"
 
         @jax.jit
         def oracle_frame(t0):
@@ -202,7 +208,7 @@ def main(argv=None):
                 h = trace_rays(
                     _chunk_scene(cbvh.sscene, s_, cap_),
                     _chunk_bvh(cbvh.bvhs, s_, cap_), o0, d0,
-                    impl="pallas4", t_init=best, tables=cbvh.tables[s_],
+                    impl=impl_o, t_init=best, tables=cbvh.tables[s_],
                 )
                 best = jnp.minimum(best, h.t)
             return best.sum()
@@ -210,7 +216,7 @@ def main(argv=None):
         res_o = measure_interleaved(
             {
                 "production": lambda: chunked_mod.trace_chunked(
-                    cbvh, o0, d0, route=False
+                    cbvh, o0, d0, impl=args.impl, route=False
                 ).t.sum(),
                 "oracle": lambda: oracle_frame(t_final),
             },

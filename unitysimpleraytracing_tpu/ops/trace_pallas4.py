@@ -70,6 +70,11 @@ _SLOTS4C = 52  # compressed record: 12 bf16-pair box slots + 4 metas + 36 verts
 # pack=2; records ≈ n/3 for balanced trees → auto thresholds on TRIANGLES:
 FLAT4_MAX_CAPACITY = 280_000    # pack=1 static-lane fetch
 PACKED4_MAX_CAPACITY = 580_000  # pack=2 2-way switch
+# VMEM budget for a flat (pack=1) record table: the kernel's 100 MB scoped
+# limit minus ray/output windows.  Single source — the pack switch
+# (prepare_tables4, render.make_animated_renderer) and the chunked build
+# contract (pipeline/chunked._check_chunk_records) all derive from it.
+FLAT4_VMEM_BUDGET = 88 * 2**20
 
 
 def auto_pack4(capacity: int) -> int:
@@ -698,7 +703,7 @@ def prepare_tables4(scene: Scene, bvh: Bvh, pack: int | None = None):
         # The ACTUAL record count decides the layout (records measure ~0.50n
         # on terrain trees vs the 2/3 worst case): flat static-lane while
         # 512 B/record fits the VMEM budget with room for the ray windows.
-        pack = 1 if cap4 * 512 <= 88 * 2**20 else 2
+        pack = 1 if cap4 * 512 <= FLAT4_VMEM_BUDGET else 2
     cap4 = max(-(-cap4 // pack) * pack, pack)
     tables = pack_tables4(scene, bvh, pack=pack, cap4=cap4, mask=mask, new_id=new_id)
     try:

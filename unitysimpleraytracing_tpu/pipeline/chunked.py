@@ -49,20 +49,21 @@ class ChunkedBvh:
         return self.sscene.shard_capacity
 
 
-# Per-chunk BVH4 tables are VMEM-resident at 512 B/record with ~100 MB of
-# scoped VMEM per core (trace_pallas4's compiler budget, minus ray/output
-# windows): the flat (pack=1) layout the chunked builder emits tolerates
-# about 180K records per chunk.
-_CHUNK_RECORD_LIMIT = (88 * 2**20) // 512
+# Per-chunk BVH4 tables are VMEM-resident at 512 B/record: the flat (pack=1)
+# layout the chunked builder emits tolerates about 180K records per chunk
+# (single-sourced from the kernel's table budget, trace_pallas4).
+_CHUNK_RECORD_LIMIT = trace_pallas4.FLAT4_VMEM_BUDGET // 512
 
 
 def _check_chunk_records(cap4: int, chunk_capacity: int) -> None:
     """Typed build-time capacity contract for the chunked path: an oversized
     chunk builds fine but its VMEM-resident table cannot compile (Mosaic
-    scoped-vmem OOM at trace time) — raise here with the actionable bound
-    instead (the render_frame CapacityError's analog, ops/dispatch.py)."""
+    scoped-vmem OOM at trace time) — raise the same typed CapacityError as
+    the single-kernel contract (ops/dispatch.py) with the actionable bound."""
+    from unitysimpleraytracing_tpu.ops.dispatch import CapacityError
+
     if cap4 > _CHUNK_RECORD_LIMIT:
-        raise ValueError(
+        raise CapacityError(
             f"chunk_capacity={chunk_capacity} yields {cap4} BVH4 records per "
             f"chunk (~{cap4 * 512 // 2**20} MB), over the ~88 MB VMEM table "
             f"budget ({_CHUNK_RECORD_LIMIT} records). Use a smaller "

@@ -316,7 +316,7 @@ def make_animated_renderer(scene: Scene, bvh: Bvh, cam: Camera, impl: str = "aut
         mask, new_id, cap4 = trace_pallas4._node_mask_cached(bvh)
         if cap4 is None:
             cap4 = (2 * bvh.capacity) // 3 + 2
-        pack = 1 if cap4 * 512 <= 88 * 2**20 else 2
+        pack = 1 if cap4 * 512 <= trace_pallas4.FLAT4_VMEM_BUDGET else 2
         cap4 = max(-(-cap4 // pack) * pack, pack)
         # Same meta-packing guards as pack_tables4 (idx + leaf<<21 + ax<<22).
         assert cap4 < (1 << 21), "meta packing needs node ids < 2^21"
