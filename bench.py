@@ -285,6 +285,37 @@ def main() -> None:
     except Exception as e:
         _note(f"1M build/trace skipped: {e}")
 
+    # ---- real-mesh large scene: subdivided male_head through chunked ------
+    try:
+        obj = "/root/reference/Assets/_Assets/male_head.obj"
+        if os.path.exists(obj):
+            hmesh = rt.subdivide_mesh(rt.load_obj(obj), levels=4, displace=0.08)
+            hscene = rt.build_scene(hmesh)
+            hbvh = rt.build_bvh_chunked(hscene)
+            lo = hmesh.positions.min(axis=(0, 1))
+            hi = hmesh.positions.max(axis=(0, 1))
+            center = (lo + hi) / 2
+            diag = float(np.linalg.norm(hi - lo))
+            hcam = rt.make_camera(
+                eye=tuple(center + np.array([0.8, 0.6, 1.2]) * diag),
+                target=tuple(center), width=WIDTH, height=HEIGHT, fov_deg=60.0,
+            )
+            s = measure(
+                lambda: rt.render_hits_chunked(hscene, hbvh, hcam).t.sum(),
+                iters=2, reps=4,
+            )
+            extra["real_mesh_chunked"] = {
+                "mesh": "male_head x4 subdivision + displacement",
+                "n_tris": hscene.count,
+                "chunks": hbvh.num_chunks,
+                "frame_ms": round(s * 1e3, 1),
+                "mrays_per_s": round(WIDTH * HEIGHT / s / 1e6, 2),
+            }
+            _note(f"real-mesh 1.6M chunked: {extra['real_mesh_chunked']}")
+            del hmesh, hscene, hbvh
+    except Exception as e:
+        _note(f"real-mesh chunked skipped: {e}")
+
     # ---- sort engines head-to-head ----------------------------------------
     rng = np.random.default_rng(0)
     keys = jnp.asarray(
