@@ -172,10 +172,14 @@ def main(argv=None):
             out[f"tri_tie_flips_{spec}"] = tri_diff
             print(f"[chunk] parity {spec}: t_equal={t_eq} "
                   f"tri_flips={tri_diff}", file=sys.stderr, flush=True)
-    best = min(
-        (v for k, v in out.items() if k.startswith("frame_ms_compact_")),
+    # Headline = the production default ('auto', which resolves to compaction
+    # OFF); fall back to the 'none' variant, NOT the minimum across variants
+    # (that could label an oracle-ish best as the production frame time).
+    fallback = out.get(
+        "frame_ms_compact_none",
+        next(v for k, v in out.items() if k.startswith("frame_ms_compact_")),
     )
-    out["frame_ms"] = out.get("frame_ms_compact_auto", best)
+    out["frame_ms"] = out.get("frame_ms_compact_auto", fallback)
     out["mrays_per_s"] = round(R / (out["frame_ms"] / 1e3) / 1e6, 2)
 
     if args.oracle:

@@ -121,6 +121,81 @@ def main() -> None:
 
     run_probe("fetch_packed_switch8_x2", fetch_packed8)
 
+    # --- HBM-row DMA probes (VERDICT r5 item 1): per-record async-copy cost
+    # for a data-dependent 512 B record row, the primitive of a hybrid
+    # VMEM-top/HBM-deep single-tree traversal.  'serial' = start+wait per
+    # row (worst case); 'batchD' = D copies issued back-to-back then drained
+    # (the per-iteration popn pattern: all D indices are known at iteration
+    # start from the stack).  Reported per ROW.
+    N_DMA = max(N // 10, 1000)
+    HBM_ROWS = 1 << 15
+
+    def run_dma_probe(name, depth, rows_per_rec=1):
+        def kernel(hbm, out, scratch, sems):
+            def round_body(carry):
+                r, base, acc = carry
+                # Indices for this round: LCG chain seeded by base (which
+                # depends on the previous round's fetched data — the
+                # traversal's stack dependence).
+                idxs = []
+                x = base
+                for _ in range(depth):
+                    x = (x * 1103515245 + 12345) & (HBM_ROWS - 1)
+                    idxs.append(x)
+                for j in range(depth):
+                    pltpu.make_async_copy(
+                        hbm.at[pl.ds(idxs[j] * rows_per_rec, rows_per_rec)],
+                        scratch.at[pl.ds(j * rows_per_rec, rows_per_rec)],
+                        sems.at[j],
+                    ).start()
+                for j in range(depth):
+                    pltpu.make_async_copy(
+                        hbm.at[pl.ds(idxs[j] * rows_per_rec, rows_per_rec)],
+                        scratch.at[pl.ds(j * rows_per_rec, rows_per_rec)],
+                        sems.at[j],
+                    ).wait()
+                    acc = acc + scratch[j * rows_per_rec, 0]
+                # Data dependence into the next round's indices.
+                base = idxs[-1] ^ scratch[0, 1].astype(jnp.int32)
+                return r + 1, base, acc
+
+            rounds = N_DMA // depth
+            _, _, acc = jax.lax.while_loop(
+                lambda c: c[0] < rounds, round_body,
+                (jnp.int32(0), jnp.int32(1), jnp.float32(0)),
+            )
+            out[0, 0] = acc
+
+        call = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec((1, 1), lambda: (0, 0), memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((depth * rows_per_rec, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((depth,)),
+            ],
+        )
+        tab = jnp.zeros((HBM_ROWS * rows_per_rec, 128), jnp.float32)
+        fn = jax.jit(lambda: call(tab))
+        try:
+            s = measure(fn, iters=3, reps=4)
+        except Exception as e:
+            print(json.dumps({"probe": name, "error": str(e)[:200]}), flush=True)
+            return None
+        rows_done = (N_DMA // depth) * depth
+        print(json.dumps({"probe": name,
+                          "ns_per_row": round(s * 1e9 / rows_done, 2),
+                          "bytes_per_row": 512 * rows_per_rec}),
+              flush=True)
+        return s * 1e9 / rows_done
+
+    run_dma_probe("dma_row512_serial", depth=1)
+    run_dma_probe("dma_row512_batch2", depth=2)
+    run_dma_probe("dma_row512_batch4", depth=4)
+    run_dma_probe("dma_row512_batch8", depth=8)
+    run_dma_probe("dma_row2048_batch8", depth=8, rows_per_rec=4)
+
 
 if __name__ == "__main__":
     main()

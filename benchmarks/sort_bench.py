@@ -19,13 +19,23 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--sizes", type=int, nargs="+", default=[20, 22, 24],
                    help="log2 key counts")
-    p.add_argument("--engines", nargs="+", default=["xla", "pallas", "radix"])
+    p.add_argument("--engines", nargs="+",
+                   default=["xla", "packed", "pallas", "radix"])
     p.add_argument("--realize", nargs="+", default=["pair_scatter"],
                    help="pallas pass realizations to A/B "
                    "(pair_scatter | gather_iota)")
     p.add_argument("--platform", choices=["tpu", "cpu"], default=None)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--reps", type=int, default=4)
+    p.add_argument("--interleaved", action="store_true",
+                   help="drift-robust A/B: one amortized sample per engine "
+                   "per round-robin round (utils.profiling.measure_"
+                   "interleaved) instead of sequential slope blocks")
+    p.add_argument("--chained", type=int, default=0, metavar="K",
+                   help="device-time mode: K data-dependent sorts fused in "
+                   "ONE jit, scalar on-device fetch — cancels the tunnel's "
+                   "per-dispatch latency entirely (the build pipeline fuses "
+                   "its sort the same way).  Implies --interleaved rounds.")
     args = p.parse_args()
 
     import jax
@@ -92,6 +102,68 @@ def main() -> None:
             else:
                 variants.append((eng, jax.jit(
                     lambda k, v, e=eng: sort_ops.sort_key_val(k, v, impl=e)[0])))
+        if args.chained:
+            from unitysimpleraytracing_tpu.utils.profiling import (
+                measure_interleaved,
+            )
+
+            K = args.chained
+
+            def make_chained(eng):
+                @jax.jit
+                def f(k, v):
+                    for _ in range(K):
+                        k, v = sort_ops.sort_key_val(k, v, impl=eng)
+                        # Data-dependent perturbation so XLA cannot CSE or
+                        # dead-code any pass; keys stay ~uniform (v is a
+                        # permutation of iota).  Identical for every engine.
+                        k = k ^ (v.astype(jnp.uint32) * jnp.uint32(2654435761))
+                    return k.sum() + v.astype(jnp.uint32).sum()  # mod-2^32 checksum
+                return f
+
+            fns = {}
+            for eng in args.engines:
+                if eng.startswith("pallas"):
+                    continue
+                fns[eng] = lambda f=make_chained(eng): f(keys, vals)
+            res = measure_interleaved(fns, iters=7, warmup=2, reps=2)
+            for name, (med, mn, samples) in res.items():
+                disp = (max(samples) - min(samples)) / med if med else 0.0
+                print(json.dumps({
+                    "engine": name, "n": n, "chained": K,
+                    "gkeys_per_s": round(n / (med / K) / 1e9, 4),
+                    "gkeys_per_s_min": round(n / (mn / K) / 1e9, 4),
+                    "ms_per_sort": round(med / K * 1e3, 3),
+                    "dispersion": round(disp, 3),
+                    "method": f"chained{K}_interleaved",
+                }), flush=True)
+            continue
+        if args.interleaved:
+            from unitysimpleraytracing_tpu.utils.profiling import (
+                measure_interleaved,
+            )
+
+            fns = {}
+            for name, fn in variants:
+                if name.startswith("pallas") and n >= (1 << 24):
+                    continue
+                np.testing.assert_array_equal(
+                    np.asarray(fn(keys[:4096], vals[:4096])),
+                    np.sort(np.asarray(keys[:4096])),
+                )
+                fns[name] = lambda f=fn: f(keys, vals)
+            res = measure_interleaved(fns, iters=7, warmup=2, reps=16)
+            for name, (med, mn, samples) in res.items():
+                disp = (max(samples) - min(samples)) / med if med else 0.0
+                print(json.dumps({
+                    "engine": name, "n": n,
+                    "gkeys_per_s": round(n / med / 1e9, 4),
+                    "gkeys_per_s_min": round(n / mn / 1e9, 4),
+                    "ms": round(med * 1e3, 3),
+                    "dispersion": round(disp, 3),
+                    "method": "interleaved_amortized",
+                }), flush=True)
+            continue
         for name, fn in variants:
             if name.startswith("pallas") and n >= (1 << 24):
                 print(json.dumps({"engine": name, "n": n, "skipped": "f32-rank bound"}),

@@ -24,11 +24,12 @@ def _random_rays(n, seed, bound=60.0):
     return jnp.asarray(origins), jnp.asarray(dirs)
 
 
+@pytest.mark.parametrize("builder", ["sah", "sah_free"])
 @pytest.mark.parametrize("n_tris", [2, 3, 7, 100, 500])
-def test_sah_structural_invariants(n_tris):
+def test_sah_structural_invariants(n_tris, builder):
     mesh = random_triangle_soup(n_tris, seed=n_tris)
     scene = build_scene(mesh)
-    bvh = build_bvh(scene, diagnostics=True, builder="sah")
+    bvh = build_bvh(scene, diagnostics=True, builder=builder)
     validate.check_topology(bvh)
     validate.check_depths(bvh)
     validate.check_refit(bvh, scene.aabb_min, scene.aabb_max)
@@ -58,11 +59,12 @@ def test_sah_contiguous_ranges_and_karras_numbering():
             assert first[s + 1] == s + 1 and last[s + 1] == last[i]
 
 
+@pytest.mark.parametrize("builder", ["sah", "sah_free"])
 @pytest.mark.parametrize("n_tris,n_rays", [(37, 256), (400, 512)])
-def test_sah_hits_match_brute_force(n_tris, n_rays):
+def test_sah_hits_match_brute_force(n_tris, n_rays, builder):
     mesh = random_triangle_soup(n_tris, seed=n_tris, bound=5.0, tri_size=1.0)
     scene = build_scene(mesh)
-    bvh = build_bvh(scene, builder="sah")
+    bvh = build_bvh(scene, builder=builder)
     origins, dirs = _random_rays(n_rays, seed=1, bound=8.0)
     want = trace.brute_force_trace(scene, origins, dirs)
     got = trace.traverse(scene, bvh, origins, dirs)
@@ -93,6 +95,46 @@ def test_sah_bvh4_kernel_parity_interpret():
     mesh = random_triangle_soup(300, seed=5, bound=5.0, tri_size=1.0)
     scene = build_scene(mesh)
     bvh = build_bvh(scene, builder="sah")
+    origins, dirs = _random_rays(1024, seed=2, bound=8.0)
+    want = trace.traverse(scene, bvh, origins, dirs)
+    got = trace_pallas4.traverse_packets_pallas4(
+        scene, bvh, origins, dirs, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(want.tri))
+    np.testing.assert_allclose(
+        np.asarray(got.t), np.asarray(want.t), rtol=4e-6, atol=0
+    )
+
+
+def test_sah_free_beats_restricted_sweep_and_reorders():
+    # The free-order builder's whole point: lower SAH cost than the
+    # Morton-restricted sweep, via a genuinely different leaf permutation.
+    mesh = terrain_mesh(res=48, size=80.0, amplitude=9.0, seed=0)
+    scene = build_scene(mesh)
+    n = scene.count
+
+    def cost(bvh):
+        mn = np.asarray(bvh.node_aabb_min)[: n - 1]
+        mx = np.asarray(bvh.node_aabb_max)[: n - 1]
+        e = mx - mn
+        sa = e[:, 0] * e[:, 1] + e[:, 1] * e[:, 2] + e[:, 2] * e[:, 0]
+        return float(np.sum(sa) / sa[0])
+
+    restricted = build_bvh(scene, builder="sah")
+    free = build_bvh(scene, builder="sah_free")
+    assert cost(free) < cost(restricted), (cost(free), cost(restricted))
+    # sorted_tri is a permutation of the in-scene triangle ids (reordered).
+    st = np.asarray(free.sorted_tri)[:n]
+    assert sorted(st.tolist()) == sorted(
+        np.asarray(restricted.sorted_tri)[:n].tolist()
+    )
+    assert not np.array_equal(st, np.asarray(restricted.sorted_tri)[:n])
+
+
+def test_sah_free_bvh4_kernel_parity_interpret():
+    mesh = random_triangle_soup(300, seed=5, bound=5.0, tri_size=1.0)
+    scene = build_scene(mesh)
+    bvh = build_bvh(scene, builder="sah_free")
     origins, dirs = _random_rays(1024, seed=2, bound=8.0)
     want = trace.traverse(scene, bvh, origins, dirs)
     got = trace_pallas4.traverse_packets_pallas4(

@@ -8,7 +8,7 @@ from unitysimpleraytracing_tpu import constants as C
 from unitysimpleraytracing_tpu.ops import sort
 from unitysimpleraytracing_tpu.utils import validate
 
-IMPLS = ["xla", "radix", "pallas"]
+IMPLS = ["xla", "packed", "radix", "pallas"]
 
 
 def _random_kv(n, seed=0, key_bits=32):

@@ -267,8 +267,12 @@ def subdivide_mesh(
         # positions are bit-equal and exact-byte grouping is sound).
         flat_p = pos.reshape(-1, 3)
         flat_n = nrm.reshape(-1, 3)
+        # Canonicalize signed zeros before the byte-pattern grouping (+0.0 and
+        # -0.0 are value-equal but byte-distinct; IEEE maps -0.0+0.0 → +0.0),
+        # so value-equal corners always share one displacement direction.
+        group_p = np.ascontiguousarray(flat_p + 0.0)
         _, inv_idx = np.unique(
-            flat_p.view([("x", np.float32), ("y", np.float32), ("z", np.float32)]),
+            group_p.view([("x", np.float32), ("y", np.float32), ("z", np.float32)]),
             return_inverse=True,
         )
         inv_idx = inv_idx.ravel()

@@ -7,6 +7,9 @@ TPU there are no wave ops and no efficient device-wide scatter, so two
 implementations are provided behind one API:
 
 - ``impl="xla"``: ``jax.lax.sort_key_val`` — XLA:TPU's native variadic sort.
+- ``impl="packed"``: ONE ``lax.sort`` of a single uint64 ``key<<32 | value``
+  array (stable for distinct values by construction) — the build pipeline's
+  measured default (see below).
 - ``impl="radix"``: an LSD radix sort with the same pass structure as the
   reference (per-block digit histograms in a transposed layout, exclusive scan
   over the flattened histogram, rank = global bucket base + intra-block rank),
@@ -17,14 +20,18 @@ implementations are provided behind one API:
 Both are stable and bit-compatible with the reference sort's output (the
 output permutation of a stable LSD radix sort is unique).
 
-HEAD-TO-HEAD (v5e, benchmarks/sort_bench.py, uniform uint32 keys):
-``xla`` 0.81 Gkeys/s @ 2^20 and 2.67 @ 2^22; ``pallas``
-(ops/sort_pallas) 0.022 @ 2^20 — the radix pass realization is 3 XLA
-gather/scatters of the full arrays per digit (~10 ms each at 1M), which the
-kernel's fast in-VMEM rank math cannot amortize.  XLA's fused sort is the
-measured production default; the Pallas path remains the reference
-implementation of the reference's kernel decomposition (and its histogram/
-rank kernels are reused where in-VMEM ranking is the right tool).
+HEAD-TO-HEAD (v5e, benchmarks/sort_bench.py; round-5 numbers are DEVICE time
+— 8 data-dependent sorts fused in one jit, interleaved rounds, dispersion
+≤15%): ``packed`` 0.368 / 0.650 / 0.456 Gkeys/s at 2^20/2^22/2^24 vs ``xla``
+0.326 / 0.475 / 0.324 — the single-word sort wins 13-41% everywhere, so the
+BUILD pipeline (whose values are distinct iota indices, satisfying packed's
+stability precondition) defaults to it.  ``xla`` remains this module's
+generic default (stable for ANY values).  ``pallas`` (ops/sort_pallas)
+measured 0.022 @ 2^20 — the radix pass realization is 3 XLA gather/scatters
+of the full arrays per digit (~10 ms each at 1M), which the kernel's fast
+in-VMEM rank math cannot amortize; it remains the reference implementation
+of the reference's kernel decomposition (and its histogram/rank kernels are
+reused where in-VMEM ranking is the right tool).
 """
 from __future__ import annotations
 
@@ -42,6 +49,8 @@ def sort_key_val(
     """Stable ascending sort of uint32 ``keys`` with ``values`` carried along."""
     if impl == "xla":
         return jax.lax.sort_key_val(keys, values, is_stable=True)
+    if impl == "packed":
+        return packed_sort_key_val(keys, values)
     if impl == "radix":
         return radix_sort_key_val(keys, values)
     if impl == "pallas":
@@ -49,6 +58,36 @@ def sort_key_val(
 
         return sort_pallas.radix_sort_key_val_pallas(keys, values)
     raise ValueError(f"unknown sort impl {impl!r}")
+
+
+def packed_sort_key_val(
+    keys: jnp.ndarray, values: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-word sort: pack (key, value) into ONE uint64 ``key<<32 | value``
+    and sort that one array (VERDICT r4 item 3).
+
+    Stability is by construction: values in the build pipeline are distinct
+    iota indices, so ascending-word order IS ascending-key order with ties
+    broken by original position — exactly the stable pair sort's permutation
+    (the reference sorts one (key, value) stream the same way,
+    ComputeBufferSorter.cs:100-126).  The hypothesis under test: halving
+    ``lax.sort``'s operand count halves its per-stage data movement.  For
+    general (possibly duplicated) values the result still matches the stable
+    pair sort whenever equal keys carry distinct values.
+
+    Requires the x64 context (TPU emulates u64 as u32 pairs; the measured
+    verdict on whether that emulation beats the variadic pair sort lives in
+    benchmarks/sort_bench.py).
+    """
+    vdtype = values.dtype
+    with jax.enable_x64():
+        w = (keys.astype(jnp.uint64) << jnp.uint64(32)) | values.astype(
+            jnp.uint32
+        ).astype(jnp.uint64)
+        w = jax.lax.sort(w, is_stable=False)
+        k = (w >> jnp.uint64(32)).astype(jnp.uint32)
+        v = w.astype(jnp.uint32)
+    return k, v.view(jnp.int32).astype(vdtype) if vdtype != jnp.uint32 else v
 
 
 def _digit(keys: jnp.ndarray, shift: int) -> jnp.ndarray:

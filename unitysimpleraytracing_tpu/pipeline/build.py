@@ -23,7 +23,7 @@ from unitysimpleraytracing_tpu.ops import lbvh, sah, sort, unique
 @functools.partial(jax.jit, static_argnames=("sort_impl", "diagnostics", "builder"))
 def _build_bvh_jit(
     scene: Scene,
-    sort_impl: str = "xla",
+    sort_impl: str = "packed",
     diagnostics: bool = False,
     builder: str = "karras",
 ) -> Bvh:
@@ -37,6 +37,14 @@ def _build_bvh_jit(
             sorted_tri, scene.aabb_min, scene.aabb_max, scene.count,
             diagnostics=diagnostics,
         )
+    if builder == "sah_free":
+        # Free-order sweep SAH (ops/sah.py): additionally re-partitions the
+        # leaves per node (one lexicographic sort per level); the emitted
+        # permutation replaces the Morton order as sorted_tri.
+        return sah.build_bvh_sah_free(
+            sorted_tri, scene.aabb_min, scene.aabb_max, scene.count,
+            diagnostics=diagnostics,
+        )
     assert builder == "karras", builder
     keys = unique.distribute_keys(keys, scene.count)
     return lbvh.build_bvh_from_sorted(
@@ -47,16 +55,22 @@ def _build_bvh_jit(
 
 def build_bvh(
     scene: Scene,
-    sort_impl: str = "xla",
+    sort_impl: str = "packed",
     diagnostics: bool = False,
     validate: bool = False,
     builder: str | None = None,
 ) -> Bvh:
     """Construct the BVH for a scene. Requires scene.count >= 2.
 
+    ``sort_impl`` defaults to "packed" (single-word uint64 sort): the build's
+    sort values are distinct iota indices, so the packed sort is stable by
+    construction and measured 13-41% faster on device than the pair sort
+    (benchmarks/sort_bench.py --chained, v5e round 5).
+
     ``builder``: "karras" (the reference's radix tree, BVH.compute:94-149,
-    bit-parity surface) or "sah" (sweep SAH over the Morton order,
-    ops/sah.py — measured 1.2-1.4x lower SAH cost, same hit contract).
+    bit-parity surface), "sah" (sweep SAH over the Morton order, ops/sah.py
+    — measured 1.2-1.4x lower SAH cost, same hit contract), or "sah_free"
+    (free-order sweep SAH — re-partitions leaves per node, lowest SAH cost).
     The measured default (``None``) mirrors build_bvh_chunked: concrete
     builds resolve to "sah" (a static scene is traced many times — the
     one-time build cost buys +6-9% on every frame, same-session v5e A/Bs

@@ -84,10 +84,25 @@ def _local_build_sah(morton_l, aabb_min_l, aabb_max_l, count):
     )
 
 
+def _local_build_sah_free(morton_l, aabb_min_l, aabb_max_l, count):
+    """Per-shard FREE-ORDER sweep-SAH build (``builder="sah_free"``): the
+    Morton sort seeds the permutation, the builder re-orders leaves per node
+    (ops/sah.build_topology_sah_free)."""
+    cap = morton_l.shape[0]
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    _, sorted_tri = jax.lax.sort_key_val(morton_l, iota, is_stable=True)
+    count = jnp.maximum(count, 2)
+    return sah.build_bvh_sah_free(
+        sorted_tri, aabb_min_l, aabb_max_l, count, static_count=cap
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("num_chunks", "builder"))
 def _partition_build(scene: Scene, num_chunks: int, builder: str):
     sscene = dist.partition_scene(scene, num_chunks)
-    fn = _local_build_sah if builder == "sah" else dist._local_build
+    fn = {
+        "sah": _local_build_sah, "sah_free": _local_build_sah_free,
+    }.get(builder, dist._local_build)
     bvhs = jax.vmap(fn)(
         sscene.morton, sscene.aabb_min, sscene.aabb_max, sscene.counts
     )

@@ -313,9 +313,14 @@ def make_animated_renderer(scene: Scene, bvh: Bvh, cam: Camera, impl: str = "aut
     if impl == "pallas4":
         from unitysimpleraytracing_tpu.ops import trace_pallas4
 
+        if isinstance(jnp.asarray(bvh.left), jax.core.Tracer):
+            raise TypeError(
+                "make_animated_renderer requires a CONCRETE scene/bvh (the "
+                "topology plan is computed once here and closed over; a "
+                "traced bvh would leak tracers into the per-frame jit). "
+                "Build the BVH outside any jit, then construct the renderer."
+            )
         mask, new_id, cap4 = trace_pallas4._node_mask_cached(bvh)
-        if cap4 is None:
-            cap4 = (2 * bvh.capacity) // 3 + 2
         pack = 1 if cap4 * 512 <= trace_pallas4.FLAT4_VMEM_BUDGET else 2
         cap4 = max(-(-cap4 // pack) * pack, pack)
         # Same meta-packing guards as pack_tables4 (idx + leaf<<21 + ax<<22).
