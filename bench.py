@@ -136,17 +136,33 @@ def main() -> None:
     bvh = rt.build_bvh(scene)
 
     from unitysimpleraytracing_tpu.ops.dispatch import resolve_impl
+    from unitysimpleraytracing_tpu.utils.profiling import measure_interleaved
 
-    trace_s = measure(lambda: rt.render_hits(scene, bvh, cam).t, iters=5)
+    def robust_row(fn, reps=16, iters=7):
+        """Drift-robust absolute row (VERDICT r4 item 5): amortized
+        round-robin rounds + fast-phase min — the slope form produced
+        impossible minima under the tunnel's ~2x within-session drift.
+        The timed fn must reduce ON DEVICE (scalar fetch).  Returns
+        (median_s, min_s); amortized includes 1/reps of the fixed
+        dispatch+fetch latency — a strict, method-tagged overestimate."""
+        med, mn, _ = measure_interleaved({"x": fn}, iters=iters, reps=reps)["x"]
+        return med, mn
+
+    trace_s, trace_s_min = robust_row(
+        lambda: rt.render_hits(scene, bvh, cam).t.sum()
+    )
     mrays = WIDTH * HEIGHT / trace_s / 1e6
     engine = resolve_impl("auto", bvh.capacity)
-    _note(f"trace[{engine}]: {trace_s*1e3:.2f} ms = {mrays:.2f} Mrays/s")
+    _note(f"trace[{engine}]: {trace_s*1e3:.2f} ms = {mrays:.2f} Mrays/s "
+          f"(amortized; fast-phase {WIDTH*HEIGHT/trace_s_min/1e6:.2f})")
     hit_frac = float(rt.render_hits(scene, bvh, cam).hit.mean())
     extra.update(
         n_tris=n_tris, rays=WIDTH * HEIGHT, hit_frac=round(hit_frac, 4),
         lbvh_build_ms=round(build_s * 1e3, 3),
         sah_build_ms=round(sah_build_s * 1e3, 3),
         traversal_engine=engine, builder="sah",
+        headline_method="interleaved_amortized_reps16",
+        headline_mrays_fast_phase=round(WIDTH * HEIGHT / trace_s_min / 1e6, 2),
     )
 
     # The binary-record kernel head-to-head (the round-2 production engine).
@@ -323,20 +339,47 @@ def main() -> None:
     )
     vals = jnp.arange(SORT_N, dtype=jnp.int32)
     extra["sort_n"] = SORT_N
-    for eng, name in (("xla", "sort_gkeys_xla"), ("pallas", "sort_gkeys_pallas")):
-        try:
-            s, method = _sort_seconds(
-                lambda e=eng: sort_ops.sort_key_val(keys, vals, impl=e)[0], SORT_N
-            )
-            val = SORT_N / s / 1e9
-            assert val <= SORT_GKEYS_CEILING + 1e-6, (val, method)
-            extra[name] = round(val, 4)
-            extra[name + "_method"] = method
-            _note(f"sort[{eng}]: {extra[name]} Gkeys/s ({method})")
-        except Exception as e:
-            _note(f"sort[{eng}] skipped: {e}")
-    gkeys = extra.get("sort_gkeys_xla", 0.0)
-    extra["sort_gkeys_per_s"] = gkeys
+    # Device-time measurement (drift-robust, VERDICT r4 items 3+5): K
+    # data-dependent sorts fused in ONE jit with a scalar on-device checksum
+    # — cancels the tunnel's per-dispatch latency entirely (the build
+    # pipeline fuses its sort the same way), sampled in interleaved rounds.
+    K_CHAIN = 8
+
+    def chained_sort(eng):
+        @jax.jit
+        def f(k, v):
+            for _ in range(K_CHAIN):
+                k, v = sort_ops.sort_key_val(k, v, impl=eng)
+                k = k ^ (v.astype(jnp.uint32) * jnp.uint32(2654435761))
+            return k.sum() + v.astype(jnp.uint32).sum()
+        return lambda: f(keys, vals)
+
+    try:
+        res = measure_interleaved(
+            {eng: chained_sort(eng) for eng in ("packed", "xla")},
+            iters=7, warmup=2, reps=2,
+        )
+        for eng, (med, _, _) in res.items():
+            val = SORT_N / (med / K_CHAIN) / 1e9
+            assert val <= SORT_GKEYS_CEILING + 1e-6, (eng, val)
+            extra[f"sort_gkeys_{eng}"] = round(val, 4)
+            extra[f"sort_gkeys_{eng}_method"] = f"chained{K_CHAIN}_interleaved"
+            _note(f"sort[{eng}]: {extra[f'sort_gkeys_{eng}']} Gkeys/s (chained)")
+    except Exception as e:
+        _note(f"chained sort rows skipped: {e}")
+    try:
+        s, method = _sort_seconds(
+            lambda: sort_ops.sort_key_val(keys, vals, impl="pallas")[0], SORT_N
+        )
+        extra["sort_gkeys_pallas"] = round(SORT_N / s / 1e9, 4)
+        extra["sort_gkeys_pallas_method"] = method
+        _note(f"sort[pallas]: {extra['sort_gkeys_pallas']} Gkeys/s ({method})")
+    except Exception as e:
+        _note(f"sort[pallas] skipped: {e}")
+    # Headline = the build pipeline's production engine (packed).
+    extra["sort_gkeys_per_s"] = extra.get(
+        "sort_gkeys_packed", extra.get("sort_gkeys_xla", 0.0)
+    )
 
     # ---- scene parity: the reference's shipped demo scene -----------------
     try:
@@ -349,11 +392,16 @@ def main() -> None:
                 eye=(0.0, 0.0, 15.7), target=(0.0, 0.0, 0.0),
                 width=WIDTH, height=HEIGHT, fov_deg=60.0,
             )
-            s = measure(
-                lambda: rt.render_hits(dscene, dbvh, dcam).t, iters=3
+            s, s_min = robust_row(
+                lambda: rt.render_hits(dscene, dbvh, dcam).t.sum()
             )
             extra["demo_scene_mrays"] = round(WIDTH * HEIGHT / s / 1e6, 2)
-            _note(f"demo scene: {extra['demo_scene_mrays']} Mrays/s")
+            extra["demo_scene_mrays_fast_phase"] = round(
+                WIDTH * HEIGHT / s_min / 1e6, 2
+            )
+            extra["demo_scene_method"] = "interleaved_amortized_reps16"
+            _note(f"demo scene: {extra['demo_scene_mrays']} Mrays/s "
+                  f"(fast-phase {extra['demo_scene_mrays_fast_phase']})")
     except Exception as e:
         _note(f"demo scene skipped: {e}")
 

@@ -24,10 +24,19 @@ def main(argv=None):
     ap.add_argument("--rows", type=int, default=8,
                     help="packet height in 128-lane sublanes (8 = 1024 rays)")
     ap.add_argument("--skip-bvh2", action="store_true")
-    ap.add_argument("--builder", default="karras", choices=["karras", "sah"])
+    ap.add_argument("--builder", default="karras",
+                    choices=["karras", "sah", "sah_free"])
     ap.add_argument("--compress", action="store_true",
                     help="also A/B the compressed (bf16-pair box, 52-slot) "
                     "record table against the plain 64-slot one, interleaved")
+    ap.add_argument("--builder-ab", action="store_true",
+                    help="A/B the restricted sweep-SAH tree vs the free-order "
+                    "one (VERDICT r4 item 2): records/ray + Mrays/s, "
+                    "interleaved rounds, hit parity")
+    ap.add_argument("--hbm", action="store_true",
+                    help="A/B the VMEM-resident record table vs HBM-streamed "
+                    "records (async-copy per pop, VERDICT r4 item 1), "
+                    "interleaved rounds, bit parity")
     args = ap.parse_args(argv)
 
     import jax
@@ -133,6 +142,77 @@ def main(argv=None):
             scene, bvh, o, d, tables=tablesc, rows=args.rows).t)
         out["compress_parity_t"] = bool(np.array_equal(t_p, t_c))
         print(f"[ab] compress parity: {out['compress_parity_t']}",
+              file=sys.stderr, flush=True)
+
+    if args.builder_ab:
+        # Restricted sweep SAH vs free-order sweep SAH: same scene/rays, each
+        # tree packed to its own table; records/ray via the popn=1 counter.
+        from unitysimpleraytracing_tpu.utils.profiling import measure_interleaved
+
+        trees = {
+            "sah": rt.build_bvh(scene, builder="sah"),
+            "sah_free": rt.build_bvh(scene, builder="sah_free"),
+        }
+        tabs = {k: trace_pallas4.prepare_tables4(scene, b) for k, b in trees.items()}
+        fns = {
+            k: (lambda tb=tabs[k], b=trees[k]: trace_pallas4
+                .traverse_packets_pallas4(scene, b, o, d, tables=tb,
+                                          rows=args.rows).t.sum())
+            for k in trees
+        }
+        res = measure_interleaved(fns, iters=7, reps=4)
+        hits = {}
+        for k in trees:
+            _, recs = trace_pallas4.traverse_packets_pallas4(
+                scene, trees[k], o, d, tables=tabs[k], popn=1, count_steps=True
+            )
+            med, mn, samples = res[k]
+            hits[k] = trace_pallas4.traverse_packets_pallas4(
+                scene, trees[k], o, d, tables=tabs[k], rows=args.rows)
+            out[f"builder_{k}"] = {
+                "records_per_ray": round(float(np.asarray(recs).sum())
+                                         / (R / 1024), 1),
+                "mrays_med": round(R / med / 1e6, 2),
+                "mrays_min_sample": round(R / mn / 1e6, 2),
+                "ms_samples": [round(s * 1e3, 2) for s in samples],
+            }
+            print(f"[ab] builder {k}: {out[f'builder_{k}']}",
+                  file=sys.stderr, flush=True)
+        t_a, t_b = np.asarray(hits["sah"].t), np.asarray(hits["sah_free"].t)
+        ha, hb = t_a != rt.constants.MAX_FLOAT, t_b != rt.constants.MAX_FLOAT
+        ok = bool(np.array_equal(ha, hb)) and bool(
+            np.allclose(t_b[hb], t_a[ha], rtol=4e-6, atol=0))
+        out["builder_ab_parity"] = ok
+        print(f"[ab] builder parity: {ok}", file=sys.stderr, flush=True)
+
+    if args.hbm:
+        from unitysimpleraytracing_tpu.utils.profiling import measure_interleaved
+
+        tables_h = (tables4 if pack4 == 1
+                    else trace_pallas4.prepare_tables4(scene, bvh, pack=1))
+        fns = {
+            "vmem": lambda: trace_pallas4.traverse_packets_pallas4(
+                scene, bvh, o, d, tables=tables4, rows=args.rows).t.sum(),
+            "hbm": lambda: trace_pallas4.traverse_packets_pallas4(
+                scene, bvh, o, d, tables=tables_h, rows=args.rows,
+                hbm=True).t.sum(),
+        }
+        res = measure_interleaved(fns, iters=7, reps=4)
+        for k, (med, mn, samples) in res.items():
+            out[f"fetch_{k}"] = {
+                "mrays_med": round(R / med / 1e6, 2),
+                "mrays_min_sample": round(R / mn / 1e6, 2),
+                "ms_samples": [round(s * 1e3, 2) for s in samples],
+            }
+            print(f"[ab] fetch {k}: med {med*1e3:.2f} ms "
+                  f"({out[f'fetch_{k}']['mrays_med']} Mrays/s)",
+                  file=sys.stderr, flush=True)
+        t_v = np.asarray(trace_pallas4.traverse_packets_pallas4(
+            scene, bvh, o, d, tables=tables4, rows=args.rows).t)
+        t_h = np.asarray(trace_pallas4.traverse_packets_pallas4(
+            scene, bvh, o, d, tables=tables_h, rows=args.rows, hbm=True).t)
+        out["hbm_parity_t"] = bool(np.array_equal(t_v, t_h))
+        print(f"[ab] hbm parity: {out['hbm_parity_t']}",
               file=sys.stderr, flush=True)
 
     print(json.dumps(out))

@@ -57,6 +57,30 @@ def test_golden_demo_scene():
 
 
 @needs_assets
+def test_golden_demo_scene_srgb():
+    """Color-transfer policy pin (VERDICT r4 item 7): textures sample
+    LINEARLY by default (texture_from_array srgb=False — bytes are treated
+    as linear values, the plain data-driven choice); ``srgb=True``
+    reproduces Unity's import path for the demo texture, where
+    viking_room.png is imported as sRGB and the hardware sampler
+    linearizes before filtering (Raytracing.compute:183 SampleLevel on an
+    sRGB-imported texture, Scene.unity:366).  Both policies are pinned by
+    a golden; the reference ships no rendered ground-truth image, so the
+    transfer function is a documented choice verified for self-consistency
+    under each policy."""
+    mesh = rt.load_obj(os.path.join(ASSETS, "ExampleObject3.obj"), flip_x=True)
+    scene = rt.build_scene(mesh)
+    bvh = rt.build_bvh(scene)
+    cam = rt.make_camera(
+        eye=(0.0, 0.0, 15.7), target=(0.0, 0.0, 0.0),
+        width=160, height=120, fov_deg=60.0,
+    )
+    tex = rt.load_texture(os.path.join(ASSETS, "viking_room.png"), srgb=True)
+    frame = rt.render_frame(scene, bvh, cam, tex, BG)
+    _compare(frame, "demo_scene_srgb_160x120.png")
+
+
+@needs_assets
 def test_golden_viking_room():
     mesh = rt.load_obj(os.path.join(ASSETS, "viking_room.obj"), flip_x=True)
     scene = rt.build_scene(mesh)

@@ -146,6 +146,30 @@ def test_sah_free_bvh4_kernel_parity_interpret():
     )
 
 
+def test_sah_free_chunked_parity():
+    # builder="sah_free" through the chunked path: same hits as the
+    # restricted-sweep chunk trees (topology changes, the hit contract not).
+    from unitysimpleraytracing_tpu.pipeline import chunked
+
+    scene = build_scene(
+        random_triangle_soup(3000, seed=3, bound=20.0, tri_size=1.0)
+    )
+    cb_sah = chunked.build_bvh_chunked(
+        scene, chunk_capacity=1024, builder="sah", record_format="bvh2"
+    )
+    cb_free = chunked.build_bvh_chunked(
+        scene, chunk_capacity=1024, builder="sah_free", record_format="bvh2"
+    )
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(rng.uniform(-25, 25, (512, 3)).astype(np.float32))
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    h1 = chunked.trace_chunked(cb_sah, o, jnp.asarray(d), impl="packet")
+    h2 = chunked.trace_chunked(cb_free, o, jnp.asarray(d), impl="packet")
+    np.testing.assert_array_equal(np.asarray(h1.t), np.asarray(h2.t))
+    np.testing.assert_array_equal(np.asarray(h1.tri), np.asarray(h2.tri))
+
+
 def test_sah_traced_count():
     # Ragged-shard usage: capacity-padded arrays, count a traced scalar.
     mesh = random_triangle_soup(90, seed=7)

@@ -79,6 +79,24 @@ def test_bvh4_two_triangles():
     _assert_hit_parity(got, ref)
 
 
+@pytest.mark.parametrize("popn", [1, 2, 8])
+def test_bvh4_hbm_streamed_records_bit_identical(popn):
+    """hbm=True (record table in HBM, per-pop async copies into VMEM
+    scratch) is BIT-identical to the VMEM kernel: same fetched values
+    through the same ops, only the fetch transport differs."""
+    scene = rt.build_scene(
+        rt.random_triangle_soup(300, seed=7, bound=5.0, tri_size=1.0)
+    )
+    bvh = rt.build_bvh(scene)
+    o, d = _rays(2048, seed=3)
+    want = _run(scene, bvh, o, d, popn=popn)
+    got = _run(scene, bvh, o, d, popn=popn, hbm=True)
+    np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(want.tri))
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(want.t))
+    np.testing.assert_array_equal(np.asarray(got.u), np.asarray(want.u))
+    np.testing.assert_array_equal(np.asarray(got.v), np.asarray(want.v))
+
+
 def test_bvh4_t_init_pruning_exact():
     scene = rt.build_scene(rt.random_triangle_soup(200, seed=5, bound=5.0, tri_size=1.0))
     bvh = rt.build_bvh(scene)

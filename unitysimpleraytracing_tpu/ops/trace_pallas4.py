@@ -363,9 +363,11 @@ def _fetch4(tab, k, lo, hi, pack):
     return jax.lax.switch(k % 2, [make(0), make(1)], None)
 
 
-def _make_kernel4(pack, count_steps=False, popn=2, rows=_SUB, compress=False):
+def _make_kernel4(pack, count_steps=False, popn=2, rows=_SUB, compress=False,
+                  hbm=False):
     assert popn in (1, 2, 4, 8, 16)
     assert not (compress and pack != 1), "compressed records are pack=1 only"
+    assert not (hbm and (pack != 1 or compress)), "hbm records are plain pack=1"
     # Slot layout: plain (24 box | 4 meta | 36 vert) vs compressed
     # (12 bf16-pair box | 4 meta | 36 vert) — see compress_tables4.
     meta_base = 12 if compress else 24
@@ -387,10 +389,10 @@ def _make_kernel4(pack, count_steps=False, popn=2, rows=_SUB, compress=False):
         return mn, mx
 
     def _kernel(nodes, rays, out, *rest):
-        if count_steps:
-            steps_out, stack = rest
-        else:
-            (stack,) = rest
+        rest = list(rest)
+        steps_out = rest.pop(0) if count_steps else None
+        stack = rest.pop(0)
+        rec_scratch, dma_sems = rest if hbm else (None, None)
         shape = (rows, _LANE)
         packet = rows * _LANE
 
@@ -477,16 +479,36 @@ def _make_kernel4(pack, count_steps=False, popn=2, rows=_SUB, compress=False):
                 ks.append(jnp.where(alive, stack[0, sp], 0))
                 alives.append(alive)
 
+            # hbm: the record table lives in HBM — issue ALL popn row copies
+            # back-to-back (indices are known now, from the stack), then
+            # drain in order: record i's DMA latency hides behind records
+            # 0..i-1's slab/leaf math (the per-iteration analog of double
+            # buffering; cross-iteration prefetch is impossible — the next
+            # pops depend on this iteration's pushes).
+            dmas = None
+            if hbm:
+                dmas = [
+                    pltpu.make_async_copy(
+                        nodes.at[ks[i]], rec_scratch.at[i], dma_sems.at[i]
+                    )
+                    for i in range(popn)
+                ]
+                for d in dmas:
+                    d.start()
             # pack=1: plain scalar loads — split the fetch so the vert loads
             # issue after the slabs start.  pack=2: ONE switch covering the
             # whole 64-slot record (splitting a packed fetch into multiple
             # switches measured 3x slower on the BVH2 layouts).
-            split = pack == 1
+            split = pack == 1 and not hbm
             recs, masks = [], []
             for i in range(popn):
-                rec = _fetch4(
-                    nodes, ks[i], 0, (meta_base + 4) if split else total, pack
-                )
+                if hbm:
+                    dmas[i].wait()
+                    rec = tuple(rec_scratch[i, c] for c in range(total))
+                else:
+                    rec = _fetch4(
+                        nodes, ks[i], 0, (meta_base + 4) if split else total, pack
+                    )
                 for e in range(4):
                     if compress:
                         mnx, mxx = unpack2(rec[3 * e + 0])
@@ -600,7 +622,7 @@ def _make_kernel4(pack, count_steps=False, popn=2, rows=_SUB, compress=False):
 def _traversal_fn4(
     T: int, cap4: int, pack: int, interpret: bool,
     count_steps: bool = False, popn: int = 2, rows: int = _SUB,
-    compress: bool = False,
+    compress: bool = False, hbm: bool = False,
 ):
     packet = rows * _LANE
     slots = _SLOTS4C if compress else _SLOTS4
@@ -614,20 +636,32 @@ def _traversal_fn4(
         out_specs.append(
             pl.BlockSpec((T, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
         )
+    # 4-ary DFS stack bound: ≤ 3 entries per level over ≤32 collapsed
+    # levels, times the popn interleave.
+    scratch = [
+        pltpu.SMEM((1, 2 * C.TRAVERSAL_STACK_DEPTH * max(popn, 1)), jnp.int32)
+    ]
+    if hbm:
+        # Per-pop record landing rows + one DMA semaphore per pop slot: the
+        # record table itself stays in HBM (memory_space ANY below).  Rows
+        # are full 128-lane tiles — Mosaic requires DMA slices aligned to
+        # the (1,128) tiling, so HBM tables are padded to 128 slots/record.
+        scratch += [
+            pltpu.VMEM((popn, _LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((popn,)),
+        ]
     call = pl.pallas_call(
-        _make_kernel4(pack, count_steps, popn, rows, compress),
+        _make_kernel4(pack, count_steps, popn, rows, compress, hbm),
         grid=(T,),
         in_specs=[
-            pl.BlockSpec(tab_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM)
+            if hbm
+            else pl.BlockSpec(tab_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs if count_steps else out_specs[0],
         out_shape=out_shape if count_steps else out_shape[0],
-        # 4-ary DFS stack bound: ≤ 3 entries per level over ≤32 collapsed
-        # levels, times the popn interleave.
-        scratch_shapes=[
-            pltpu.SMEM((1, 2 * C.TRAVERSAL_STACK_DEPTH * max(popn, 1)), jnp.int32)
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -662,6 +696,15 @@ def _traversal_fn4(
 
 # id(bvh) -> (weakref(bvh), weakref(scene), pack, cap4, tables)
 _TABLE4_CACHE: dict = {}
+
+
+@jax.jit
+def pad_tables_hbm(tables: jnp.ndarray) -> jnp.ndarray:
+    """(cap4, 64) pack=1 table → (cap4, 128) HBM-layout table (full 128-lane
+    rows so per-record DMA slices match Mosaic's (1,128) tiling).  Callers
+    tracing per-frame should pad ONCE and pass the padded table."""
+    assert tables.shape[-1] == _SLOTS4, tables.shape
+    return jnp.pad(tables, ((0, 0), (0, _LANE - _SLOTS4)))
 
 
 def table_geometry(tables) -> tuple[int, int]:
@@ -729,21 +772,35 @@ def traverse_packets_pallas4(
     count_steps: bool = False,
     t_init: jnp.ndarray | None = None,
     anyhit_thresh: jnp.ndarray | None = None,
+    hbm: bool = False,
 ) -> HitRecord:
     """BVH4 kernel nearest-hit traversal over (R, 3) rays (see module doc).
 
     Same contract as trace_pallas.traverse_packets_pallas: R must be a
     multiple of rows*128, coherent ray order expected, ``t_init`` seeds the
     running best, ``anyhit_thresh`` enables occlusion early-exit.  ``tables``
-    carries a prepare_tables4 result (cap4/pack recovered from its shape)."""
+    carries a prepare_tables4 result (cap4/pack recovered from its shape).
+
+    ``hbm=True`` keeps the record table in HBM and streams each popped
+    record into VMEM scratch with an async copy (all popn copies issued
+    before the first wait) — the SINGLE-TREE path for scenes whose table
+    exceeds the ~88 MB VMEM budget (VERDICT r4 item 1): one global tree
+    instead of the chunked path's per-chunk union traversal.  pack=1 plain
+    records only; bit-identical hits to the VMEM kernel (same fetch values
+    through the same ops)."""
     R = origins.shape[0]
     packet = rows * _LANE
     assert R % packet == 0, f"{R} rays not divisible by {packet}"
     T = R // packet
     if tables is None:
         # pack=None lets prepare_tables4 pick from the ACTUAL record count.
-        tables = prepare_tables4(scene, bvh, pack=pack)
-    if cap4 is None:
+        tables = prepare_tables4(scene, bvh, pack=1 if hbm else pack)
+    if hbm:
+        if tables.shape[-1] == _SLOTS4:
+            tables = pad_tables_hbm(tables)
+        assert tables.shape[-1] == _LANE, tables.shape
+        cap4, pack = tables.shape[0], 1
+    elif cap4 is None:
         cap4, pack = table_geometry(tables)
     if popn is None:
         # Measured on v5e at 512² (same-session A/Bs, benchmarks/bvh4_ab.py):
@@ -760,7 +817,7 @@ def traverse_packets_pallas4(
     for lo in range(0, T, max_packets):
         Tseg = min(max_packets, T - lo)
         run = _traversal_fn4(
-            Tseg, cap4, pack, interpret, count_steps, popn, rows, compress
+            Tseg, cap4, pack, interpret, count_steps, popn, rows, compress, hbm
         )
         sl = slice(lo * packet, (lo + Tseg) * packet)
         res = run(
