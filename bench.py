@@ -132,7 +132,7 @@ def main() -> None:
     build_s = measure(lambda: rt.build_bvh(scene, builder="karras"), iters=3)
     _note(f"build 65K (karras): {build_s*1e3:.2f} ms")
     sah_build_s = measure(lambda: rt.build_bvh(scene), iters=3)
-    _note(f"build 65K (sah default): {sah_build_s*1e3:.2f} ms")
+    _note(f"build 65K (default quality builder): {sah_build_s*1e3:.2f} ms")
     bvh = rt.build_bvh(scene)
 
     from unitysimpleraytracing_tpu.ops.dispatch import resolve_impl
@@ -151,40 +151,56 @@ def main() -> None:
     trace_s, trace_s_min = robust_row(
         lambda: rt.render_hits(scene, bvh, cam).t.sum()
     )
+    # Slope-median DEVICE-time estimate alongside (cancels the fixed
+    # dispatch+fetch latency; used for the roofline rows and for
+    # round-over-round continuity with the r1-r4 headline method).
+    trace_slope_s = measure(lambda: rt.render_hits(scene, bvh, cam).t.sum())
     mrays = WIDTH * HEIGHT / trace_s / 1e6
     engine = resolve_impl("auto", bvh.capacity)
     _note(f"trace[{engine}]: {trace_s*1e3:.2f} ms = {mrays:.2f} Mrays/s "
-          f"(amortized; fast-phase {WIDTH*HEIGHT/trace_s_min/1e6:.2f})")
+          f"(amortized; fast-phase {WIDTH*HEIGHT/trace_s_min/1e6:.2f}; "
+          f"device-slope {WIDTH*HEIGHT/trace_slope_s/1e6:.2f})")
     hit_frac = float(rt.render_hits(scene, bvh, cam).hit.mean())
     extra.update(
         n_tris=n_tris, rays=WIDTH * HEIGHT, hit_frac=round(hit_frac, 4),
         lbvh_build_ms=round(build_s * 1e3, 3),
         sah_build_ms=round(sah_build_s * 1e3, 3),
-        traversal_engine=engine, builder="sah",
+        traversal_engine=engine, builder="sah_free",
         headline_method="interleaved_amortized_reps16",
         headline_mrays_fast_phase=round(WIDTH * HEIGHT / trace_s_min / 1e6, 2),
+        headline_mrays_device_slope=round(
+            WIDTH * HEIGHT / trace_slope_s / 1e6, 2
+        ),
     )
 
-    # The binary-record kernel head-to-head (the round-2 production engine).
+    # The binary-record kernel head-to-head (the round-2 production engine)
+    # — same amortized method as the headline so the engine ratio is
+    # like-for-like (mixing slope and amortized rows inverted the ordering
+    # in one smoke run).
     try:
         if engine == "pallas4":
-            s2 = measure(
-                lambda: rt.render_hits(scene, bvh, cam, impl="pallas").t, iters=3
+            s2_med, _ = robust_row(
+                lambda: rt.render_hits(scene, bvh, cam, impl="pallas").t.sum()
             )
-            extra["bvh2_mrays"] = round(WIDTH * HEIGHT / s2 / 1e6, 2)
+            s2_slope = measure(
+                lambda: rt.render_hits(scene, bvh, cam, impl="pallas").t.sum(),
+                iters=3,
+            )
+            extra["bvh2_mrays"] = round(WIDTH * HEIGHT / s2_med / 1e6, 2)
+            extra["bvh2_mrays_method"] = "interleaved_amortized_reps16"
             _note(f"trace[pallas bvh2]: {extra['bvh2_mrays']} Mrays/s")
         else:
-            s2 = trace_s
+            s2_slope = trace_slope_s
     except Exception as e:
-        s2 = trace_s
+        s2_slope = trace_slope_s
         _note(f"bvh2 head-to-head skipped: {e}")
 
     # Builder contrast: the karras radix tree (the reference's algorithm,
     # the bit-parity surface, and the traced/dynamic default), same engine —
-    # same-session contrast with the sweep-SAH headline above.
+    # same-session amortized contrast with the headline above.
     try:
         sbvh_k = rt.build_bvh(scene, builder="karras")
-        s_k = measure(lambda: rt.render_hits(scene, sbvh_k, cam).t, iters=3)
+        s_k, _ = robust_row(lambda: rt.render_hits(scene, sbvh_k, cam).t.sum())
         extra["headline_karras_mrays"] = round(WIDTH * HEIGHT / s_k / 1e6, 2)
         _note(f"trace[karras tree]: {extra['headline_karras_mrays']} Mrays/s")
         del sbvh_k
@@ -200,7 +216,9 @@ def main() -> None:
         d = _tile_major(d, HEIGHT, WIDTH, 32)
         _, steps = trace_pallas.traversal_step_counts(scene, bvh, o, d)
         steps_total = int(np.asarray(steps).sum())
-        ns_per_step = s2 * 1e9 / steps_total
+        # DEVICE-time roofline (slope-median — amortized rows include
+        # dispatch latency that is not kernel time).
+        ns_per_step = s2_slope * 1e9 / steps_total
         extra.update(
             traversal_steps_mean=round(steps_total / (WIDTH * HEIGHT / 1024), 1),
             traversal_ns_per_step=round(ns_per_step, 1),
@@ -214,7 +232,7 @@ def main() -> None:
                 scene, bvh, o, d, popn=1, count_steps=True
             )
             rec4_total = int(np.asarray(rec4).sum())
-            ns_per_rec = trace_s * 1e9 / rec4_total
+            ns_per_rec = trace_slope_s * 1e9 / rec4_total
             extra.update(
                 bvh4_records_mean=round(rec4_total / (WIDTH * HEIGHT / 1024), 1),
                 bvh4_ns_per_record=round(ns_per_rec, 1),

@@ -19,6 +19,10 @@ WIDTH = HEIGHT = 512
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=182)
+    ap.add_argument("--scene", default="terrain", choices=["terrain", "soup"],
+                    help="terrain (coherent surface, Morton-friendly) or "
+                    "random triangle soup (Morton-hostile — the free-order "
+                    "builder's best case); soup uses --res^2*2 triangles")
     ap.add_argument("--popns", type=int, nargs="+", default=[1, 2, 4])
     ap.add_argument("--pack", type=int, default=0, help="0 = auto")
     ap.add_argument("--rows", type=int, default=8,
@@ -52,7 +56,11 @@ def main(argv=None):
     from unitysimpleraytracing_tpu.ops.dispatch import _tile_major
     from unitysimpleraytracing_tpu.utils.profiling import measure
 
-    mesh = rt.terrain_mesh(res=args.res, size=80.0, amplitude=9.0, seed=0)
+    if args.scene == "soup":
+        n = 2 * (args.res - 1) ** 2
+        mesh = rt.random_triangle_soup(n, seed=0, bound=40.0, tri_size=1.2)
+    else:
+        mesh = rt.terrain_mesh(res=args.res, size=80.0, amplitude=9.0, seed=0)
     scene = rt.build_scene(mesh)
     bvh = rt.build_bvh(scene, builder=args.builder)
     cam = rt.make_camera(

@@ -25,7 +25,7 @@ def main(argv=None):
     ap.add_argument("--impl", default="auto")
     ap.add_argument("--chunk-capacity", type=int, default=163840)
     ap.add_argument("--format", default="bvh4", choices=["bvh4", "bvh2"])
-    ap.add_argument("--builder", default=None, choices=["karras", "sah"])
+    ap.add_argument("--builder", default=None, choices=["karras", "sah", "sah_free"])
     ap.add_argument("--rows", type=int, default=None,
                     help="pallas4 packet height override (sublanes; 8 default)")
     ap.add_argument("--random-rays", action="store_true",

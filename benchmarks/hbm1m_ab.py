@@ -76,12 +76,17 @@ def main(argv=None):
     print(f"[hbm1m] single tree: {cap4} records ({out['table_mb']} MB)",
           file=sys.stderr, flush=True)
 
+    from unitysimpleraytracing_tpu.pipeline import chunked as chunked_mod
+
     fns = {}
     if not args.skip_chunked:
         cbvh = rt.build_bvh_chunked(scene)
         out["chunks"] = cbvh.num_chunks
-        fns["chunked"] = lambda: rt.render_hits_chunked(
-            scene, cbvh, cam).t.sum()
+        # Same tile-major rays as the single-tree arm (identical work AND
+        # identical output order, so the parity check below compares
+        # pixel-for-pixel).
+        fns["chunked"] = lambda: chunked_mod.trace_chunked(
+            cbvh, o, d).t.sum()
     for p in args.popns:
         fns[f"hbm_popn{p}"] = lambda p=p: trace_pallas4.traverse_packets_pallas4(
             scene, bvh, o, d, tables=tables, popn=p, hbm=True).t.sum()
@@ -115,7 +120,7 @@ def main(argv=None):
 
     # Hit parity single-tree vs chunked (t exact-tie class only may differ).
     if not args.skip_chunked:
-        h_c = rt.render_hits_chunked(scene, cbvh, cam)
+        h_c = chunked_mod.trace_chunked(cbvh, o, d)
         h_s = trace_pallas4.traverse_packets_pallas4(
             scene, bvh, o, d, tables=tables, hbm=True)
         t_c, t_s = np.asarray(h_c.t), np.asarray(h_s.t)

@@ -15,4 +15,7 @@ import jax  # noqa: E402  (after env setup)
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
-jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+# NOTE: jax_persistent_cache_enable_xla_caches="all" was dropped in round 5:
+# with ~170 suite tests' state accumulated it segfaulted the interpreter
+# inside the cache serialize/deserialize path (put/get_executable_and_time),
+# reproducibly at the same test and in both read and write directions.

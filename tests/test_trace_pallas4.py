@@ -83,18 +83,30 @@ def test_bvh4_two_triangles():
 def test_bvh4_hbm_streamed_records_bit_identical(popn):
     """hbm=True (record table in HBM, per-pop async copies into VMEM
     scratch) is BIT-identical to the VMEM kernel: same fetched values
-    through the same ops, only the fetch transport differs."""
-    scene = rt.build_scene(
-        rt.random_triangle_soup(300, seed=7, bound=5.0, tri_size=1.0)
-    )
-    bvh = rt.build_bvh(scene)
-    o, d = _rays(2048, seed=3)
-    want = _run(scene, bvh, o, d, popn=popn)
-    got = _run(scene, bvh, o, d, popn=popn, hbm=True)
-    np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(want.tri))
-    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(want.t))
-    np.testing.assert_array_equal(np.asarray(got.u), np.asarray(want.u))
-    np.testing.assert_array_equal(np.asarray(got.v), np.asarray(want.v))
+    through the same ops, only the fetch transport differs.
+
+    Runs with the persistent compilation cache DISABLED: serializing the
+    interpret-mode DMA-semaphore executable after a full suite's state
+    segfaults the interpreter inside put/get_executable_and_time
+    (reproduced 4x at exactly this test, in both cache directions; the
+    same test passes standalone and the cache adds nothing here)."""
+    import jax
+
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        scene = rt.build_scene(
+            rt.random_triangle_soup(300, seed=7, bound=5.0, tri_size=1.0)
+        )
+        bvh = rt.build_bvh(scene)
+        o, d = _rays(2048, seed=3)
+        want = _run(scene, bvh, o, d, popn=popn)
+        got = _run(scene, bvh, o, d, popn=popn, hbm=True)
+        np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(want.tri))
+        np.testing.assert_array_equal(np.asarray(got.t), np.asarray(want.t))
+        np.testing.assert_array_equal(np.asarray(got.u), np.asarray(want.u))
+        np.testing.assert_array_equal(np.asarray(got.v), np.asarray(want.v))
+    finally:
+        jax.config.update("jax_enable_compilation_cache", True)
 
 
 def test_bvh4_t_init_pruning_exact():

@@ -96,50 +96,71 @@ def build_topology(codes: jnp.ndarray, count, with_parents: bool = True):
     d_pos = adj > adj_prev
     dmin = jnp.where(d_pos, adj_prev, adj)
 
-    # next/prev-smaller-or-equal for all 33 thresholds at once:
-    #   nxt[v, i] = min{k >= i : adj[k] <= v}   (sentinel cap -> clamped later)
-    #   prv[v, i] = max{k <  i : adj[k] <= v}   (sentinel -1)
+    # next/prev-smaller-or-equal for all 33 thresholds at once, with the
+    # boundary's adj VALUE riding in the low 6 bits of the packed word
+    # (position-major: (pos << 6) | (adj+2), adj+2 ∈ [1, 33]), so threshold
+    # queries answer both "where is the boundary" and "what delta is there"
+    # with zero gathers:
+    #   nxt[v, i] packs min{k >= i : adj[k] <= v}   (sentinel INT_MAX)
+    #   prv[v, i] packs max{k <  i : adj[k] <= v}   (sentinel -1)
     vals = jnp.asarray(_ADJ_VALS, jnp.int32)[:, None]          # (33, 1)
     leq = adj[None, :] <= vals                                  # (33, cap)
     iota = jnp.broadcast_to(ids[None, :], leq.shape)
+    packed_pv = (iota << 6) | (adj[None, :] + 2)
     nxt = jax.lax.cummin(
-        jnp.where(leq, iota, jnp.int32(2**31 - 1)), axis=1, reverse=True
+        jnp.where(leq, packed_pv, jnp.int32(2**31 - 1)), axis=1, reverse=True
     )
-    prv_inc = jax.lax.cummax(jnp.where(leq, iota, jnp.int32(-1)), axis=1)
+    prv_inc = jax.lax.cummax(jnp.where(leq, packed_pv, jnp.int32(-1)), axis=1)
     prv = jnp.concatenate(
         [jnp.full((len(_ADJ_VALS), 1), -1, jnp.int32), prv_inc[:, :-1]], axis=1
     )
 
-    # One-hot select each node's threshold row (dmin ∈ [-1, 31]).
+    # One-hot select each node's threshold row (dmin ∈ [-1, 31]); positions
+    # are the packed words' high bits (sentinels -1 and INT_MAX shift to -1
+    # and a large positive — same clamping as before).
     sel = dmin[None, :] == vals                                 # (33, cap)
-    last_sel = jnp.sum(jnp.where(sel, nxt, 0), axis=0)
-    first_sel = jnp.sum(jnp.where(sel, prv, 0), axis=0) + 1
+    last_sel = jnp.sum(jnp.where(sel, nxt, 0), axis=0) >> 6
+    first_sel = (jnp.sum(jnp.where(sel, prv, 0), axis=0) >> 6) + 1
     first = jnp.where(d_pos, ids, first_sel)
     last = jnp.where(d_pos, last_sel, ids)
 
-    # Split = leftmost argmin of adj over [first, last-1]: sparse-table RMQ
-    # on keys (adj+1) << 25 | k  (min -> smallest adj, then leftmost k).
-    packed = ((adj + 1) << 25) | ids
-    levels = max(int(cap).bit_length(), 1)
-    tabs = [packed]
-    w = 1
-    for _ in range(levels - 1):
-        p = tabs[-1]
-        tabs.append(
-            jnp.minimum(
-                p,
-                jnp.concatenate([p[w:], jnp.full((w,), 2**31 - 1, jnp.int32)]),
-            )
-        )
-        w *= 2
-    table = jnp.concatenate(tabs)                               # (levels*cap,)
-
-    lo = jnp.clip(first, 0, cap - 1)
-    hi = jnp.clip(last - 1, 0, cap - 1)                        # argmin over [lo, hi]
-    length = jnp.maximum(hi - lo + 1, 1)
-    k = 31 - jax.lax.clz(length)
-    second = hi + 1 - (jnp.int32(1) << k)
-    rmq = jnp.minimum(table[k * cap + lo], table[k * cap + second])
+    # Split per node WITHOUT the sparse-table RMQ (its table build + two
+    # full-capacity element gathers dominated 1M topology): invert the
+    # node→split map.  Every adj position k is the leftmost argmin of
+    # exactly one node's range [f_k, l_k] (the Karras ranges are the
+    # Cartesian-tree ranges of adj), and both the range and the NAME of
+    # that node follow from two more threshold selects on the same tables:
+    #   f_k = prv[adj[k]][k] + 1          (ties on the left excluded —
+    #                                      leftmost-argmin convention)
+    #   l_k = pos of nxt[adj[k]-1][k+1]   (strictly-smaller boundary; ties
+    #                                      on the right are inside)
+    #   name = f_k iff the LEFT boundary delta exceeds the right one (the
+    #   parent's split sits at the larger boundary delta; out-of-range
+    #   boundaries are -inf, the root special-cases to 0), else l_k.
+    # One masked scatter of ((adj+1) << 25 | k) then lands every node's
+    # split + split-delta in the same packed form the RMQ produced.
+    a = adj
+    sel_a = a[None, :] == vals
+    pk_prv = jnp.sum(jnp.where(sel_a, prv, 0), axis=0)
+    f_pos = (pk_prv >> 6) + 1
+    f_val = (pk_prv & 63) - 2                                   # adj at f_k-1
+    sel_lt = (a - 1)[None, :] == vals
+    nxt_excl = jnp.concatenate(
+        [nxt[:, 1:], jnp.full((len(_ADJ_VALS), 1), 2**31 - 1, jnp.int32)],
+        axis=1,
+    )
+    pk_nxt = jnp.sum(jnp.where(sel_lt, nxt_excl, 0), axis=0)
+    l_pos = jnp.minimum(pk_nxt >> 6, n - 1)
+    NEG = jnp.int32(-100)
+    adj_left = jnp.where(f_pos > 0, f_val, NEG)
+    adj_right = jnp.where(l_pos < n - 1, (pk_nxt & 63) - 2, NEG)
+    name = jnp.where(adj_left > adj_right, f_pos, l_pos)
+    name = jnp.where((f_pos == 0) & (l_pos == n - 1), 0, name)
+    valid_k = ids <= n - 2
+    scat = jnp.zeros((cap,), jnp.int32).at[
+        jnp.where(valid_k, name, cap)
+    ].set(((a + 1) << 25) | ids, mode="drop")
+    rmq = scat
     split = rmq & ((1 << 25) - 1)
 
     # Traversal ordering hint, free from the RMQ result: the split separates

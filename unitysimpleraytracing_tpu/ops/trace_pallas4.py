@@ -499,12 +499,16 @@ def _make_kernel4(pack, count_steps=False, popn=2, rows=_SUB, compress=False,
             # issue after the slabs start.  pack=2: ONE switch covering the
             # whole 64-slot record (splitting a packed fetch into multiple
             # switches measured 3x slower on the BVH2 layouts).
-            split = pack == 1 and not hbm
+            split = pack == 1
             recs, masks = [], []
             for i in range(popn):
                 if hbm:
+                    # Wait, then read only boxes+metas — the vert reads
+                    # issue later, after the slabs start (the same split
+                    # that the VMEM pack=1 path uses; the record is fully
+                    # landed, so the later reads need no second wait).
                     dmas[i].wait()
-                    rec = tuple(rec_scratch[i, c] for c in range(total))
+                    rec = tuple(rec_scratch[i, c] for c in range(meta_base + 4))
                 else:
                     rec = _fetch4(
                         nodes, ks[i], 0, (meta_base + 4) if split else total, pack
@@ -551,11 +555,14 @@ def _make_kernel4(pack, count_steps=False, popn=2, rows=_SUB, compress=False,
                 metas.append((idxs, leafs, ax_self, ax_l, ax_r))
 
             for i in range(popn):
-                verts = (
-                    _fetch4(nodes, ks[i], vert_base, total, pack)
-                    if split
-                    else recs[i][vert_base:total]
-                )
+                if hbm:
+                    verts = tuple(
+                        rec_scratch[i, c] for c in range(vert_base, total)
+                    )
+                elif split:
+                    verts = _fetch4(nodes, ks[i], vert_base, total, pack)
+                else:
+                    verts = recs[i][vert_base:total]
                 idxs, leafs, _, _, _ = metas[i]
                 for e in range(4):
                     t, tri, u, v = leaf_test(

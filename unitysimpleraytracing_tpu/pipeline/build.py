@@ -71,11 +71,14 @@ def build_bvh(
     bit-parity surface), "sah" (sweep SAH over the Morton order, ops/sah.py
     — measured 1.2-1.4x lower SAH cost, same hit contract), or "sah_free"
     (free-order sweep SAH — re-partitions leaves per node, lowest SAH cost).
-    The measured default (``None``) mirrors build_bvh_chunked: concrete
-    builds resolve to "sah" (a static scene is traced many times — the
-    one-time build cost buys +6-9% on every frame, same-session v5e A/Bs
-    at 65K/260K tris), traced builds (inside a caller's jit — per-frame
-    rebuild loops, where build SPEED is the metric) resolve to "karras".
+    The measured default (``None``): concrete builds resolve to "sah_free"
+    (a static scene is traced many times — the one-time build buys every
+    frame; round-5 interleaved A/Bs vs "sah": +1.7% @65K terrain, +1.3%
+    @260K, +1.9% @65K soup, records/ray −3..6%, parity true everywhere),
+    traced builds (inside a caller's jit — per-frame rebuild loops, where
+    build SPEED is the metric) resolve to "karras".  build_bvh_chunked
+    keeps "sah": at 1M its free-order chunk build costs 2.7x cold
+    (209 s vs 77 s) for +1.3% — not worth the cold start there.
 
     ``diagnostics`` adds the parent links + per-node depth array
     (validation only; nothing in the render path reads them).
@@ -91,7 +94,7 @@ def build_bvh(
         raise ValueError("LBVH needs at least 2 triangles (reference assumes the same)")
     if builder is None:
         traced = isinstance(jnp.asarray(scene.morton), jax.core.Tracer)
-        builder = "karras" if traced else "sah"
+        builder = "karras" if traced else "sah_free"
     if not validate:
         return _build_bvh_jit(scene, sort_impl, diagnostics, builder)
 
