@@ -374,7 +374,7 @@ def main() -> None:
 
     try:
         res = measure_interleaved(
-            {eng: chained_sort(eng) for eng in ("packed", "xla")},
+            {eng: chained_sort(eng) for eng in ("lex2", "packed", "xla")},
             iters=7, warmup=2, reps=2,
         )
         for eng, (med, _, _) in res.items():
@@ -394,9 +394,9 @@ def main() -> None:
         _note(f"sort[pallas]: {extra['sort_gkeys_pallas']} Gkeys/s ({method})")
     except Exception as e:
         _note(f"sort[pallas] skipped: {e}")
-    # Headline = the build pipeline's production engine (packed).
+    # Headline = the build pipeline's production engine (lex2).
     extra["sort_gkeys_per_s"] = extra.get(
-        "sort_gkeys_packed", extra.get("sort_gkeys_xla", 0.0)
+        "sort_gkeys_lex2", extra.get("sort_gkeys_xla", 0.0)
     )
 
     # ---- scene parity: the reference's shipped demo scene -----------------

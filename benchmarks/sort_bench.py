@@ -20,7 +20,7 @@ def main() -> None:
     p.add_argument("--sizes", type=int, nargs="+", default=[20, 22, 24],
                    help="log2 key counts")
     p.add_argument("--engines", nargs="+",
-                   default=["xla", "packed", "pallas", "radix"])
+                   default=["xla", "packed", "lex2", "pallas", "radix"])
     p.add_argument("--realize", nargs="+", default=["pair_scatter"],
                    help="pallas pass realizations to A/B "
                    "(pair_scatter | gather_iota)")

@@ -8,7 +8,7 @@ from unitysimpleraytracing_tpu import constants as C
 from unitysimpleraytracing_tpu.ops import sort
 from unitysimpleraytracing_tpu.utils import validate
 
-IMPLS = ["xla", "packed", "radix", "pallas"]
+IMPLS = ["xla", "packed", "lex2", "radix", "pallas"]
 
 
 def _random_kv(n, seed=0, key_bits=32):

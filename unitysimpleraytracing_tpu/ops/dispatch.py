@@ -54,8 +54,12 @@ def resolve_impl(impl: str, capacity: int) -> str:
             f"scene capacity {capacity} exceeds the single-BVH kernel bound "
             f"({PALLAS_MAX_CAPACITY} triangles of VMEM-resident tables). Use "
             f"build_bvh_chunked + render_frame_chunked/trace_chunked for "
-            f"large scenes (pipeline/chunked.py), or request impl='packet' "
-            f"explicitly to accept the slow XLA fallback."
+            f"large scenes (pipeline/chunked.py — the measured 1M perf "
+            f"default), trace_pallas4.traverse_packets_pallas4(..., "
+            f"hbm=True) for a single-tree trace with HBM-streamed records "
+            f"(no table ceiling; ~1.3x slower than chunked at 1M), or "
+            f"request impl='packet' explicitly to accept the slow XLA "
+            f"fallback."
         )
     return "packet"
 

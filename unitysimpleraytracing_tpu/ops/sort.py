@@ -7,9 +7,12 @@ TPU there are no wave ops and no efficient device-wide scatter, so two
 implementations are provided behind one API:
 
 - ``impl="xla"``: ``jax.lax.sort_key_val`` — XLA:TPU's native variadic sort.
-- ``impl="packed"``: ONE ``lax.sort`` of a single uint64 ``key<<32 | value``
-  array (stable for distinct values by construction) — the build pipeline's
+- ``impl="lex2"``: two-key lexicographic NON-stable ``lax.sort`` — for
+  distinct values the value tiebreak reproduces the stable permutation
+  exactly while dropping ``is_stable``'s overhead; the build pipeline's
   measured default (see below).
+- ``impl="packed"``: ONE ``lax.sort`` of a single uint64 ``key<<32 | value``
+  array (stable for distinct values by construction; needs the x64 context).
 - ``impl="radix"``: an LSD radix sort with the same pass structure as the
   reference (per-block digit histograms in a transposed layout, exclusive scan
   over the flattened histogram, rank = global bucket base + intra-block rank),
@@ -22,11 +25,13 @@ output permutation of a stable LSD radix sort is unique).
 
 HEAD-TO-HEAD (v5e, benchmarks/sort_bench.py; round-5 numbers are DEVICE time
 — 8 data-dependent sorts fused in one jit, interleaved rounds, dispersion
-≤15%): ``packed`` 0.368 / 0.650 / 0.456 Gkeys/s at 2^20/2^22/2^24 vs ``xla``
-0.326 / 0.475 / 0.324 — the single-word sort wins 13-41% everywhere, so the
-BUILD pipeline (whose values are distinct iota indices, satisfying packed's
-stability precondition) defaults to it.  ``xla`` remains this module's
-generic default (stable for ANY values).  ``pallas`` (ops/sort_pallas)
+≤8%): ``lex2`` 0.407 / 0.668 / 0.486 Gkeys/s at 2^20/2^22/2^24, ``packed``
+0.415 / 0.662 / 0.455, ``xla`` 0.351 / 0.478 / 0.325 — dropping
+``is_stable`` is the whole win (+16-49%); ``lex2`` captures it without
+``packed``'s uint64/x64 dependency and is the BUILD pipeline's default
+(its values are distinct iota indices, satisfying the tiebreak
+precondition).  ``xla`` remains this module's generic default (stable for
+ANY values).  ``pallas`` (ops/sort_pallas)
 measured 0.022 @ 2^20 — the radix pass realization is 3 XLA gather/scatters
 of the full arrays per digit (~10 ms each at 1M), which the kernel's fast
 in-VMEM rank math cannot amortize; it remains the reference implementation
@@ -51,6 +56,8 @@ def sort_key_val(
         return jax.lax.sort_key_val(keys, values, is_stable=True)
     if impl == "packed":
         return packed_sort_key_val(keys, values)
+    if impl == "lex2":
+        return lex2_sort_key_val(keys, values)
     if impl == "radix":
         return radix_sort_key_val(keys, values)
     if impl == "pallas":
@@ -88,6 +95,18 @@ def packed_sort_key_val(
         k = (w >> jnp.uint64(32)).astype(jnp.uint32)
         v = w.astype(jnp.uint32)
     return k, v.view(jnp.int32).astype(vdtype) if vdtype != jnp.uint32 else v
+
+
+def lex2_sort_key_val(
+    keys: jnp.ndarray, values: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-key lexicographic NON-stable sort: ``lax.sort((keys, values),
+    num_keys=2)``.  For distinct values this returns exactly the stable pair
+    sort's permutation (the value is the tiebreak), while dropping
+    ``is_stable``'s extra machinery — the same trick as ``packed`` without
+    the uint64/x64 dependency."""
+    k, v = jax.lax.sort((keys, values), num_keys=2, is_stable=False)
+    return k, v
 
 
 def _digit(keys: jnp.ndarray, shift: int) -> jnp.ndarray:

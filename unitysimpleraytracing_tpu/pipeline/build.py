@@ -23,7 +23,7 @@ from unitysimpleraytracing_tpu.ops import lbvh, sah, sort, unique
 @functools.partial(jax.jit, static_argnames=("sort_impl", "diagnostics", "builder"))
 def _build_bvh_jit(
     scene: Scene,
-    sort_impl: str = "packed",
+    sort_impl: str = "lex2",
     diagnostics: bool = False,
     builder: str = "karras",
 ) -> Bvh:
@@ -55,17 +55,21 @@ def _build_bvh_jit(
 
 def build_bvh(
     scene: Scene,
-    sort_impl: str = "packed",
+    sort_impl: str = "lex2",
     diagnostics: bool = False,
     validate: bool = False,
     builder: str | None = None,
 ) -> Bvh:
     """Construct the BVH for a scene. Requires scene.count >= 2.
 
-    ``sort_impl`` defaults to "packed" (single-word uint64 sort): the build's
-    sort values are distinct iota indices, so the packed sort is stable by
-    construction and measured 13-41% faster on device than the pair sort
-    (benchmarks/sort_bench.py --chained, v5e round 5).
+    ``sort_impl`` defaults to "lex2" (two-key lexicographic non-stable
+    sort): the build's sort values are distinct iota indices, so the value
+    tiebreak reproduces the stable pair sort's permutation exactly while
+    dropping ``is_stable``'s overhead — measured +16-49% device time over
+    the stable pair sort and equal-or-better than the uint64 "packed"
+    engine without its x64 dependency (benchmarks/sort_bench.py --chained,
+    v5e round 5: lex2 0.407/0.668/0.486 Gkeys/s at 2^20/22/24 vs packed
+    0.415/0.662/0.455 vs xla 0.351/0.478/0.325).
 
     ``builder``: "karras" (the reference's radix tree, BVH.compute:94-149,
     bit-parity surface), "sah" (sweep SAH over the Morton order, ops/sah.py
